@@ -1,0 +1,33 @@
+"""langsplatv2_tpu — a TPU-native language Gaussian-splatting framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of LangSplatV2
+(high-dimensional 3D language Gaussian splatting, arXiv 2507.07136):
+
+- ``utils``    — SH evaluation, camera/projection math, losses, LR schedules,
+                 sparse-coefficient (softmax top-k) codes.
+- ``ops``      — the differentiable rasterizer: projection/preprocess, tile
+                 binning via key sort, MXU-friendly per-tile blending, codebook
+                 decode; Pallas kernels for the hot path.
+- ``models``   — the Gaussian scene model as a pytree with static padded
+                 capacity, densify/prune, checkpoint schema.
+- ``scene``    — COLMAP/PLY/Blender IO, cameras, scene assembly.
+- ``train``    — jitted training steps (RGB phase + language-feature phase),
+                 config system, trainers.
+- ``parallel`` — device-mesh sharding of tiles/Gaussians, multi-host.
+- ``eval``     — OpenCLIP relevancy, LERF / 3D-OVS / Mip-NeRF360 benchmarks.
+- ``serve``    — ZMQ render server + viser frontend.
+
+Design notes (TPU-first, not a CUDA port):
+The reference's CUDA rasterizer blends each pixel sequentially front-to-back.
+Here the blend is reformulated: per tile, the blend-weight matrix
+``W[p, j] = alpha_j(p) * T_j(p)`` is built in parallel on the VPU (the
+transmittance cumulative product becomes ``exp(cumsum(log1p(-alpha)))``) and
+the accumulation over RGB + K language-coefficient channels becomes a single
+MXU matmul ``W @ features``. Binning replaces the GPU radix sort with
+``lax.sort`` over packed (tile, depth) keys; backward replaces CUDA atomics
+with deterministic segment-sums.
+"""
+
+__version__ = "0.1.0"
+
+CLIP_DIM = 512  # CLIP ViT-B-16 feature dimension (reference preprocess.py:28-30)

@@ -1,0 +1,1 @@
+from .gaussians import GaussianModel  # noqa: F401

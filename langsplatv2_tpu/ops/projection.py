@@ -1,0 +1,204 @@
+"""Per-Gaussian preprocessing: culling, EWA projection, conic, radius, SH->RGB.
+
+Semantics parity with the CUDA rasterizer's `preprocess` stage (contract in
+SURVEY.md §2.3(a); behavior documented from the public
+diff-gaussian-rasterization design which the reference extends):
+
+- frustum cull at view-space depth <= 0.2,
+- 3D covariance Sigma = (R S)(R S)^T from activated scale/rotation (or a
+  precomputed 6-vector),
+- EWA splat: cov2d = J Sigma_view J^T with the focal-plane clamp at
+  1.3 * tan(fov/2) and a +0.3 screen-space dilation on the diagonal,
+- conic = inverse covariance; screen radius = ceil(3 * sqrt(max eigenvalue)),
+- tile rectangle in BLOCK x BLOCK tile units; radius=0 or zero-area rect
+  means culled,
+- SH -> RGB for the camera-to-Gaussian direction, clamped at 0 from below.
+
+Everything is batched jnp over NAussians — this stage is embarrassingly
+parallel and lives happily in XLA (fused elementwise + small matmuls); the
+Pallas effort is reserved for binning/blending.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils import sh as sh_mod
+from ..utils.transforms import quat_to_rotmat, unstrip_symmetric
+from ..utils.camera_math import ndc_to_pixel
+
+BLOCK = 16  # tile side in pixels, matching the 16x16 CUDA thread-block tiles
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-Gaussian screen-space quantities. All arrays are length N."""
+
+    xy: jnp.ndarray        # [N, 2] pixel-space means
+    depth: jnp.ndarray     # [N] view-space z (sort key)
+    conic: jnp.ndarray     # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray    # [N] int32 screen radius in pixels (0 = culled)
+    rgb: jnp.ndarray | None  # [N, 3] view-dependent colors (None if precomputed)
+    rect_min: jnp.ndarray  # [N, 2] int32 inclusive tile-rect min (x, y)
+    rect_max: jnp.ndarray  # [N, 2] int32 exclusive tile-rect max (x, y)
+    tiles_touched: jnp.ndarray  # [N] int32 number of touched tiles
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,          # [N, 3]
+    scales: jnp.ndarray | None,    # [N, 3] activated scales
+    rotations: jnp.ndarray | None, # [N, 4] quaternions (w,x,y,z)
+    cov3d_precomp: jnp.ndarray | None,  # [N, 6] or None
+    viewmatrix: jnp.ndarray,       # [4, 4] transposed W2C (row-vector convention)
+    projmatrix: jnp.ndarray,       # [4, 4] transposed full projection
+    tanfovx: float,
+    tanfovy: float,
+    image_width: int,
+    image_height: int,
+    scale_modifier: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project means and covariances. Returns (xy, depth, conic, radius-ish
+    internals) packaged by `preprocess` below; split out for testability."""
+    N = means3d.shape[0]
+    ones = jnp.ones((N, 1), means3d.dtype)
+    means_h = jnp.concatenate([means3d, ones], axis=1)  # [N, 4]
+
+    p_view = means_h @ viewmatrix  # [N, 4], row-vector convention
+    depth = p_view[:, 2]
+    in_front = depth > 0.2
+
+    p_hom = means_h @ projmatrix  # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    focal_x = image_width / (2.0 * tanfovx)
+    focal_y = image_height / (2.0 * tanfovy)
+
+    # 3D covariance.
+    if cov3d_precomp is not None:
+        cov3d = unstrip_symmetric(cov3d_precomp)
+    else:
+        R = quat_to_rotmat(rotations)
+        L = R * (scale_modifier * scales)[:, None, :]
+        cov3d = L @ jnp.swapaxes(L, -1, -2)
+
+    # EWA: clamp the view-space point to the 1.3x focal plane before building J.
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
+    tz = depth
+    txtz = p_view[:, 0] / tz
+    tytz = p_view[:, 1] / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    zeros = jnp.zeros_like(tz)
+    # J rows: d(pix)/d(view). [N, 2, 3]
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x / tz, zeros, -focal_x * tx / (tz * tz)], axis=-1),
+            jnp.stack([zeros, focal_y / tz, -focal_y * ty / (tz * tz)], axis=-1),
+        ],
+        axis=-2,
+    )
+    W = viewmatrix[:3, :3].T  # world->view rotation (math convention)
+    # Sigma_view = W Sigma W^T ; cov2d = J Sigma_view J^T
+    sigma_view = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", J, sigma_view, J)
+    cov2d = cov2d.at[:, 0, 0].add(0.3)
+    cov2d = cov2d.at[:, 1, 1].add(0.3)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    xy = jnp.stack(
+        [ndc_to_pixel(p_proj[:, 0], image_width), ndc_to_pixel(p_proj[:, 1], image_height)],
+        axis=-1,
+    )
+
+    visible = in_front & det_ok
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    return xy, depth, conic, radius
+
+
+def tile_rect(xy, radius, image_width: int, image_height: int):
+    """Inclusive-min/exclusive-max touched tile rectangle per Gaussian
+    (CUDA getRect parity)."""
+    grid_x = (image_width + BLOCK - 1) // BLOCK
+    grid_y = (image_height + BLOCK - 1) // BLOCK
+    r = radius.astype(jnp.float32)
+    rect_min = jnp.stack(
+        [
+            jnp.clip(jnp.floor((xy[:, 0] - r) / BLOCK), 0, grid_x).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 1] - r) / BLOCK), 0, grid_y).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    rect_max = jnp.stack(
+        [
+            jnp.clip(jnp.floor((xy[:, 0] + r + BLOCK - 1) / BLOCK), 0, grid_x).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 1] + r + BLOCK - 1) / BLOCK), 0, grid_y).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    return rect_min, rect_max, tiles
+
+
+def sh_to_color(
+    shs: jnp.ndarray,       # [N, K, 3]
+    means3d: jnp.ndarray,   # [N, 3]
+    campos: jnp.ndarray,    # [3]
+    sh_degree: int,
+) -> jnp.ndarray:
+    """View-dependent SH color, clamped at 0 (CUDA computeColorFromSH parity;
+    the clamp's gradient masking falls out of jnp.maximum autodiff)."""
+    dirs = means3d - campos[None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # eval_sh expects [..., C, K] coefficient layout.
+    result = sh_mod.eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+    return jnp.maximum(result + 0.5, 0.0)
+
+
+def preprocess(
+    means3d,
+    scales,
+    rotations,
+    cov3d_precomp,
+    shs,
+    colors_precomp,
+    viewmatrix,
+    projmatrix,
+    campos,
+    tanfovx: float,
+    tanfovy: float,
+    image_width: int,
+    image_height: int,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+) -> ProjectedGaussians:
+    xy, depth, conic, radius = project_gaussians(
+        means3d, scales, rotations, cov3d_precomp,
+        viewmatrix, projmatrix, tanfovx, tanfovy,
+        image_width, image_height, scale_modifier,
+    )
+    rect_min, rect_max, tiles = tile_rect(xy, radius, image_width, image_height)
+    # A Gaussian with an empty rect is culled (radius forced to 0).
+    radius = jnp.where(tiles > 0, radius, 0)
+    tiles = jnp.where(radius > 0, tiles, 0)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    elif shs is not None:
+        rgb = sh_to_color(shs, means3d, campos, sh_degree)
+    else:
+        rgb = None
+    return ProjectedGaussians(xy, depth, conic, radius, rgb, rect_min, rect_max, tiles)

@@ -1,0 +1,2 @@
+from .cameras import Camera  # noqa: F401
+from .scene import Scene  # noqa: F401

@@ -1,0 +1,139 @@
+"""Sparse coefficient codes over the global codebook.
+
+Parity targets: reference `utils/vq_utils.py:9-40` (softmax -> top-k mask ->
+renormalize-to-1, dense and compact forms) and `utils/vq_utils.py:43-104`
+(residual k-means codebook initialization — reimplemented as a JAX mini-batch
+k-means instead of sklearn, so it runs on TPU).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@partial(jax.jit, static_argnames=("k",))
+def softmax_to_topk_soft_code(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Dense sparse-coefficient field: softmax over the codebook axis, keep the
+    top-k entries, renormalize them to sum to 1 (+1e-10).
+
+    logits: [N, K] -> [N, K] with at most k non-zeros per row.
+    (reference vq_utils.py:9-24)
+    """
+    y = jax.nn.softmax(logits, axis=1)
+    vals, idx = lax.top_k(y, k)  # [N, k]
+    mask = jnp.zeros_like(y, dtype=bool).at[
+        jnp.arange(y.shape[0])[:, None], idx
+    ].set(True)
+    y_topk = jnp.where(mask, y, 0.0)
+    return y_topk / (y_topk.sum(axis=1, keepdims=True) + 1e-10)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def get_weights_and_indices(logits: jnp.ndarray, k: int):
+    """Compact form: ([N,k] weights, [N,k] float indices), both ordered by
+    ascending codebook index — matching the reference's nonzero-extraction
+    traversal order (vq_utils.py:26-40)."""
+    y = jax.nn.softmax(logits, axis=1)
+    vals, idx = lax.top_k(y, k)
+    order = jnp.argsort(idx, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    weights = vals / (vals.sum(axis=1, keepdims=True) + 1e-10)
+    return weights.astype(jnp.float32), idx.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Residual vector quantization codebook init (k-means on TPU)
+# ---------------------------------------------------------------------------
+
+def _assign(points: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-center assignment via the |p|^2 - 2 p.c + |c|^2 expansion, which
+    keeps the distance computation on the MXU ([M,D] @ [D,K])."""
+    dots = points @ centers.T  # [M, K]
+    c2 = (centers ** 2).sum(-1)  # [K]
+    return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
+
+
+def _kmeans_pp_init(key: jax.Array, points: jnp.ndarray, num_clusters: int) -> jnp.ndarray:
+    """k-means++ seeding: each next center drawn with probability proportional
+    to the squared distance to the nearest chosen center (sklearn's default
+    init, which the reference relies on via MiniBatchKMeans)."""
+    M = points.shape[0]
+    keys = jax.random.split(key, num_clusters)
+    first = points[jax.random.randint(keys[0], (), 0, M)]
+    centers = jnp.zeros((num_clusters,) + points.shape[1:], points.dtype).at[0].set(first)
+    min_d2 = ((points - first) ** 2).sum(-1)
+
+    def body(i, carry):
+        centers, min_d2 = carry
+        probs = min_d2 / jnp.maximum(min_d2.sum(), 1e-30)
+        idx = jax.random.choice(jax.random.fold_in(keys[1], i), M, p=probs)
+        nxt = points[idx]
+        centers = centers.at[i].set(nxt)
+        min_d2 = jnp.minimum(min_d2, ((points - nxt) ** 2).sum(-1))
+        return centers, min_d2
+
+    centers, _ = lax.fori_loop(1, num_clusters, body, (centers, min_d2))
+    return centers
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "iters", "batch_size"))
+def minibatch_kmeans(
+    key: jax.Array,
+    points: jnp.ndarray,
+    num_clusters: int,
+    iters: int = 50,
+    batch_size: int = 16384,
+) -> jnp.ndarray:
+    """Mini-batch k-means (Sculley 2010, as used by sklearn MiniBatchKMeans in
+    the reference): per batch, assign to nearest center and move each center
+    toward its batch mean with a per-center 1/count learning rate.
+
+    Returns centers [num_clusters, D].
+    """
+    M, D = points.shape
+    init_key, batch_key = jax.random.split(key)
+    centers0 = _kmeans_pp_init(init_key, points, num_clusters)
+    counts0 = jnp.zeros((num_clusters,), jnp.float32)
+
+    def step(carry, bkey):
+        centers, counts = carry
+        bidx = jax.random.randint(bkey, (batch_size,), 0, M)
+        batch = points[bidx]
+        assign = _assign(batch, centers)
+        onehot = jax.nn.one_hot(assign, num_clusters, dtype=jnp.float32)  # [B,K]
+        batch_counts = onehot.sum(0)  # [K]
+        batch_sums = onehot.T @ batch  # [K, D]
+        new_counts = counts + batch_counts
+        lr = batch_counts / jnp.maximum(new_counts, 1.0)
+        batch_means = batch_sums / jnp.maximum(batch_counts, 1.0)[:, None]
+        centers = centers + lr[:, None] * (batch_means - centers)
+        return (centers, new_counts), None
+
+    keys = jax.random.split(batch_key, iters)
+    (centers, _), _ = lax.scan(step, (centers0, counts0), keys)
+    return centers
+
+
+def residual_kmeans_codebooks(
+    key: jax.Array,
+    features: jnp.ndarray,
+    num_levels: int,
+    num_clusters: int,
+    iters: int = 50,
+    batch_size: int = 16384,
+) -> jnp.ndarray:
+    """Fit per-level codebooks on successive quantization residuals
+    (reference vq_utils.py:56-70). Returns [num_levels, num_clusters, D]."""
+    residuals = features
+    books = []
+    for level in range(num_levels):
+        key, sub = jax.random.split(key)
+        centers = minibatch_kmeans(sub, residuals, num_clusters, iters, batch_size)
+        assign = _assign(residuals, centers)
+        residuals = residuals - centers[assign]
+        books.append(centers)
+    return jnp.stack(books, axis=0)

@@ -1,0 +1,37 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Note: this environment pre-imports jax in sitecustomize (axon TPU plugin),
+so setting JAX_PLATFORMS via os.environ is too late. Backend *initialization*
+is still lazy, so jax.config.update + XLA_FLAGS set here (before any test
+touches a device) reliably force an 8-device CPU platform. The suite must be
+deterministic and must not occupy the TPU chip (bench.py owns it); run with
+LSV2_TEST_PLATFORM=tpu to exercise hardware explicitly.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
+
+jax.config.update("jax_platforms", os.environ.get("LSV2_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    if os.environ.get("LSV2_TEST_PLATFORM", "cpu") == "cpu":
+        assert jax.devices()[0].platform == "cpu", jax.devices()
+        assert len(jax.devices()) == 8, jax.devices()
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
