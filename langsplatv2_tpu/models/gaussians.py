@@ -36,6 +36,16 @@ def _pad(arr: jnp.ndarray, capacity: int) -> jnp.ndarray:
     return jnp.pad(arr, pad_width)
 
 
+def _pad_rotation(arr: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Pad quaternion rows with the identity rotation. Zero-padding would
+    make rotation_activation produce NaN (normalize of a zero vector), and
+    NaNs in a masked-out branch still poison gradients through jnp.where."""
+    n = arr.shape[0]
+    if n == capacity:
+        return arr
+    return _pad(arr, capacity).at[n:, 0].set(1.0)
+
+
 @struct.dataclass
 class GaussianModel:
     # Raw (pre-activation) parameters, padded to `capacity` rows.
@@ -185,7 +195,7 @@ def create_from_pcd(
         features_dc=_pad(features_dc, capacity),
         features_rest=_pad(features_rest, capacity),
         scaling=_pad(scales, capacity),
-        rotation=_pad(rots, capacity),
+        rotation=_pad_rotation(rots, capacity),
         opacity=_pad(opacities, capacity),
         live=live,
         max_radii2d=jnp.zeros((capacity,), jnp.float32),
@@ -270,9 +280,12 @@ def densify_and_prune(
     simply never placed here.
 
     New gaussians go into dead slots in index order. Returns
-    (model, overflow_count); overflow > 0 means capacity was insufficient
-    (host should `grow_capacity` and re-run this round — the excess children
-    were dropped).
+    (model, overflow_count, placed_mask); overflow > 0 means capacity was
+    insufficient (host should `grow_capacity` and re-run this round — the
+    excess children were dropped). `placed_mask` [C] marks slots that
+    received a new gaussian — the trainer zeroes their optimizer moments,
+    the equivalent of the reference's cat_tensors_to_optimizer appending
+    zero exp_avg rows (gaussian_model.py:398-422).
     """
     C = model.capacity
     denom_ok = model.denom[:, 0] > 0
@@ -343,7 +356,8 @@ def densify_and_prune(
         denom=jnp.zeros_like(model.denom),
         max_radii2d=jnp.zeros_like(model.max_radii2d),
     )
-    return new_model, overflow
+    placed = _scatter_rows(jnp.zeros((C,), bool), dest, jnp.ones_like(wants, bool), fits)
+    return new_model, overflow, placed
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -365,7 +379,7 @@ def grow_capacity(model: GaussianModel, new_capacity: int) -> GaussianModel:
         features_dc=pad_field(model.features_dc),
         features_rest=pad_field(model.features_rest),
         scaling=pad_field(model.scaling),
-        rotation=pad_field(model.rotation),
+        rotation=_pad_rotation(model.rotation, new_capacity),
         opacity=pad_field(model.opacity),
         live=pad_field(model.live),
         language_logits=pad_field(model.language_logits),

@@ -95,38 +95,72 @@ def load_ply(path: str, max_sh_degree: int = 3,
 # Full checkpoints (pytree npz)
 # ---------------------------------------------------------------------------
 
+MODEL_FIELDS = (
+    "xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity",
+    "live", "language_logits", "codebooks", "quick_weights", "quick_indices",
+    "max_radii2d", "xyz_gradient_accum", "denom",
+)
+
+
 def save_checkpoint(path: str, model: GaussianModel, opt_state, iteration: int,
                     extra: dict | None = None) -> None:
-    """Store model + optimizer state + iteration. Logical superset of the
-    reference (capture(), iteration) torch.save tuple."""
+    """Store model + optimizer state + iteration — the logical superset of
+    the reference's (capture(), iteration) torch.save 12/14-tuple. Model
+    fields are saved by NAME so checkpoints are self-describing; optimizer
+    state is saved as an indexed flattened pytree (restoring it requires a
+    matching template, exactly like torch's load_state_dict)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tree = {"model": model, "opt_state": opt_state}
-    flat, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {}
+    for f in MODEL_FIELDS:
+        v = getattr(model, f)
+        if v is not None:
+            arrays[f"model/{f}"] = np.asarray(v)
+    opt_flat, _ = jax.tree_util.tree_flatten(opt_state)
+    for i, leaf in enumerate(opt_flat):
+        arrays[f"opt/{i}"] = np.asarray(leaf)
     manifest = {
         "iteration": int(iteration),
-        "num_leaves": len(flat),
+        "num_opt_leaves": len(opt_flat),
         "active_sh_degree": model.active_sh_degree,
         "max_sh_degree": model.max_sh_degree,
         "spatial_lr_scale": model.spatial_lr_scale,
         "include_feature": model.language_logits is not None,
         "extra": extra or {},
     }
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
     np.savez(path, manifest=json.dumps(manifest), **arrays)
 
 
 def load_checkpoint(path: str, model_template: GaussianModel, opt_state_template):
-    """Restore into structures matching the saved tree. Returns
-    (model, opt_state, iteration, extra)."""
+    """Restore. Returns (model, opt_state, iteration, extra); opt_state is
+    the template when the checkpoint carries none."""
+    model, iteration, extra, opt_flat = _load_parts(path)
+    if opt_flat and opt_state_template is not None:
+        _, treedef = jax.tree_util.tree_flatten(opt_state_template)
+        opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in opt_flat])
+    else:
+        opt_state = opt_state_template
+    return model, opt_state, iteration, extra
+
+
+def load_checkpoint_auto(path: str, sh_degree: int = 3):
+    """Template-free restore of the model part. Returns (model, iteration)."""
+    model, iteration, _, _ = _load_parts(path)
+    return model, iteration
+
+
+def _load_parts(path: str):
     with np.load(path, allow_pickle=False) as data:
         manifest = json.loads(str(data["manifest"]))
-        flat = [data[f"leaf_{i}"] for i in range(manifest["num_leaves"])]
-    tree = {"model": model_template, "opt_state": opt_state_template}
-    _, treedef = jax.tree_util.tree_flatten(tree)
-    restored = jax.tree_util.tree_unflatten(treedef, [jnp.asarray(x) for x in flat])
-    model = restored["model"].replace(
+        fields = {}
+        for f in MODEL_FIELDS:
+            key = f"model/{f}"
+            fields[f] = jnp.asarray(data[key]) if key in data else None
+        opt_flat = [data[f"opt/{i}"] for i in range(manifest.get("num_opt_leaves", 0))]
+    model = GaussianModel(
+        **fields,
         active_sh_degree=manifest["active_sh_degree"],
         max_sh_degree=manifest["max_sh_degree"],
         spatial_lr_scale=manifest["spatial_lr_scale"],
     )
-    return model, restored["opt_state"], manifest["iteration"], manifest["extra"]
+    return model, manifest["iteration"], manifest["extra"], opt_flat

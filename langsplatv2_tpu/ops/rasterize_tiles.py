@@ -62,13 +62,20 @@ def blend_tiles(
     bg: jnp.ndarray,             # [3]
     tile_cap: int,
     tile_batch: int,
+    tile_ids: jnp.ndarray | None = None,
 ):
-    """Blend all tiles. Returns (rgb [T, P, 3], feat [T, P, D] | None,
-    final_T [T, P])."""
+    """Blend tiles. By default all grid tiles; pass `tile_ids` [T_local] to
+    blend a subset (the tile-sharded path gives each device its slice).
+    Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P])."""
     num_tiles = grid_x * grid_y
-    num_batches = -(-num_tiles // tile_batch)
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    n_local = tile_ids.shape[0]
+    num_batches = -(-n_local // tile_batch)
     padded = num_batches * tile_batch
-    tile_ids_all = jnp.arange(padded, dtype=jnp.int32).reshape(num_batches, tile_batch)
+    tile_ids_all = jnp.pad(
+        tile_ids, (0, padded - n_local), constant_values=num_tiles
+    ).reshape(num_batches, tile_batch)
     max_entries = binned.gauss_id.shape[0]
 
     feat_dim = features.shape[1] if features is not None else 0
@@ -121,9 +128,9 @@ def blend_tiles(
         return rgb_tile, feat_tile, final_t
 
     rgb, feat, final_t = lax.map(batch_fn, tile_ids_all)
-    rgb = rgb.reshape(padded, P, 3)[:num_tiles]
-    feat = feat.reshape(padded, P, feat_dim)[:num_tiles] if features is not None else None
-    final_t = final_t.reshape(padded, P)[:num_tiles]
+    rgb = rgb.reshape(padded, P, 3)[:n_local]
+    feat = feat.reshape(padded, P, feat_dim)[:n_local] if features is not None else None
+    final_t = final_t.reshape(padded, P)[:n_local]
     return rgb, feat, final_t
 
 

@@ -1,0 +1,284 @@
+"""Multi-chip sharding of the rasterizer and training steps.
+
+The reference is strictly single-GPU (SURVEY.md §2.4); this distribution
+layer is additive and TPU-native:
+
+- Mesh axes ``("data", "tile")``: cameras (viewpoints) shard over ``data``
+  (the reference trains 1 camera/step; batching viewpoints is the natural DP
+  axis), pixel tiles shard over ``tile`` (the "sequence parallelism" of
+  splatting — each chip blends a strip of the image against replicated
+  Gaussians, the shard_map analogue of the CUDA block-per-tile grid).
+- Per-Gaussian preprocessing + binning are replicated (cheap: O(N) vs the
+  O(pixels*entries) blend); Gaussian-sharded binning with an all-to-all is
+  the planned Mip-NeRF360-scale extension.
+- Gradients: shard_map's transpose turns each shard's scatter-add into a
+  ``psum`` over (data, tile) for the replicated Gaussian/codebook params —
+  the deterministic TPU replacement for CUDA backward atomics, riding ICI.
+
+Everything compiles under jit with static shapes; `dryrun_multichip` in
+__graft_entry__.py validates the full step on an N-device CPU mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map as _shard_map_api
+
+def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    # jax>=0.8 moved shard_map to jax.shard_map with check_vma kwarg.
+    return _shard_map_api(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+
+from ..ops import binning, projection, rasterize_tiles
+from ..ops.rasterize import RasterizeSettings
+from ..models.gaussians import GaussianModel
+from ..models.renderer import RenderOutput
+from ..utils import losses
+from .. import __version__  # noqa: F401  (keeps package import self-contained)
+
+
+def make_device_mesh(n_data: int = 1, n_tile: int | None = None,
+                     devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_tile = n_tile or (len(devices) // n_data)
+    assert n_data * n_tile <= len(devices)
+    dev = np.asarray(devices[: n_data * n_tile]).reshape(n_data, n_tile)
+    return Mesh(dev, ("data", "tile"))
+
+
+def _padded_tile_ids(num_tiles: int, n_shards: int) -> jnp.ndarray:
+    per = -(-num_tiles // n_shards)
+    ids = jnp.arange(n_shards * per, dtype=jnp.int32)
+    # Out-of-range ids act as empty tiles inside blend_tiles.
+    return jnp.where(ids < num_tiles, ids, num_tiles)
+
+
+def rasterize_sharded(
+    mesh: Mesh,
+    settings: RasterizeSettings,
+    means3d, opacities, viewmatrix, projmatrix, campos, bg,
+    scales=None, rotations=None, cov3d_precomp=None,
+    shs=None, colors_precomp=None, features=None,
+    quick_weights=None, quick_indices=None, quick_channels: int = 192,
+):
+    """Tile-sharded forward render over `mesh`'s "tile" axis (Gaussians
+    replicated). Mirrors ops.rasterize's interface; returns RasterizeOutput-
+    compatible fields (rgb, feature_map, radii, final_transmittance)."""
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    n_tile_shards = mesh.shape["tile"]
+
+    proj = projection.preprocess(
+        means3d, scales, rotations, cov3d_precomp, shs, colors_precomp,
+        viewmatrix, projmatrix, campos, settings.tanfovx, settings.tanfovy,
+        W, H, settings.sh_degree, settings.scale_modifier,
+    )
+    if quick_weights is not None:
+        onehot = jax.nn.one_hot(quick_indices.astype(jnp.int32), quick_channels,
+                                dtype=quick_weights.dtype)
+        blend_features = jnp.einsum("ns,nsc->nc", quick_weights, onehot)
+    else:
+        blend_features = features
+
+    binned = binning.bin_gaussians(proj, grid_x, grid_y, settings.max_entries)
+    tile_ids = _padded_tile_ids(num_tiles, n_tile_shards)
+
+    def local_blend(xy, conic, op, colors, feats, b_gauss, b_start, b_count,
+                    tile_ids_local):
+        b = binning.BinnedTiles(b_gauss, None, b_start, b_count, None)
+        rgb, feat, final_t = rasterize_tiles.blend_tiles(
+            xy, conic, op, colors, feats, b, grid_x, grid_y, bg,
+            settings.tile_cap, settings.tile_batch, tile_ids=tile_ids_local,
+        )
+        if feat is None:
+            feat = jnp.zeros(rgb.shape[:-1] + (0,), rgb.dtype)
+        return rgb, feat, final_t
+
+    feats_in = blend_features if blend_features is not None else jnp.zeros(
+        (means3d.shape[0], 0), jnp.float32)
+
+    rgb_t, feat_t, final_t = shard_map(
+        local_blend, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P("tile")),
+        out_specs=(P("tile"), P("tile"), P("tile")),
+        check_rep=False,
+    )(proj.xy, proj.conic, opacities[:, 0], proj.rgb, feats_in,
+      binned.gauss_id, binned.tile_start, binned.tile_count, tile_ids)
+
+    rgb_t = rgb_t[:num_tiles]
+    feat_t = feat_t[:num_tiles]
+    final_t = final_t[:num_tiles]
+    rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+    feature_map = (
+        rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+        if feat_t.shape[-1] else None
+    )
+    final_map = rasterize_tiles.tiles_to_image(
+        final_t[..., None], grid_x, grid_y, H, W)[0]
+    return rgb, feature_map, proj.radius, final_map
+
+
+def make_sharded_feature_loss(
+    mesh: Mesh,
+    settings: RasterizeSettings,
+    topk: int,
+    layer_idx: int = 0,
+    use_cos_loss: bool = True,
+    use_l1_loss: bool = False,
+):
+    """The differentiable sharded loss used by the sharded train step; also
+    exposed for gradient-parity tests."""
+    return _build_sharded_loss(mesh, settings, topk, layer_idx,
+                               use_cos_loss, use_l1_loss)
+
+
+def make_sharded_feature_train_step(
+    mesh: Mesh,
+    settings: RasterizeSettings,
+    optimizer,
+    topk: int,
+    layer_idx: int = 0,
+    use_cos_loss: bool = True,
+    use_l1_loss: bool = False,
+):
+    """Language-feature training step with viewpoint-batch DP over "data"
+    and pixel-tile SP over "tile"; logits/codebook grads all-reduced by the
+    shard_map transpose. Camera batch arrays have leading dim B divisible by
+    mesh.shape['data'].
+
+    Returns jitted (model, opt_state, views[B,4,4], projs[B,4,4],
+    campos[B,3], bg[3], gt_feats[B,512,H,W], gt_masks[B,1,H,W]) ->
+    (model, opt_state, metrics).
+    """
+    from ..train.trainer import feature_params
+
+    sharded_loss = _build_sharded_loss(mesh, settings, topk, layer_idx,
+                                       use_cos_loss, use_l1_loss)
+
+    @jax.jit
+    def step(model, opt_state, views, projs, camposs, bg, gt_feats, gt_masks):
+        params = feature_params(model)
+        loss, grads = jax.value_and_grad(sharded_loss)(
+            params, model, views, projs, camposs, bg, gt_feats, gt_masks)
+        new_params, opt_state = optimizer.update(grads, opt_state, params)
+        return model.replace(**new_params), opt_state, {"loss": loss}
+
+    return step
+
+
+def _build_sharded_loss(
+    mesh: Mesh,
+    settings: RasterizeSettings,
+    topk: int,
+    layer_idx: int,
+    use_cos_loss: bool,
+    use_l1_loss: bool,
+):
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    tile_ids_full = _padded_tile_ids(num_tiles, n_tile)
+
+    data_spec_cam = P("data")
+
+    def loss_one_camera(model: GaussianModel, view, proj_m, campos, bg,
+                        gt_feat, gt_mask, tile_ids_local):
+        """Per-(camera, tile-shard) partial loss numerator/denominator."""
+        proj = projection.preprocess(
+            model.xyz, model.get_scaling(), model.get_rotation(), None,
+            model.get_features(), None, view, proj_m, campos,
+            settings.tanfovx, settings.tanfovy, W, H,
+            model.active_sh_degree, 1.0,
+        )
+        weights = model.get_render_weights(topk)
+        binned = binning.bin_gaussians(proj, grid_x, grid_y, settings.max_entries)
+        _, feat_t, _ = rasterize_tiles.blend_tiles(
+            proj.xy, proj.conic, model.get_opacity()[:, 0], proj.rgb, weights,
+            binned, grid_x, grid_y, bg, settings.tile_cap, settings.tile_batch,
+            tile_ids=tile_ids_local,
+        )
+        # Decode this shard's tiles to CLIP space: [T_local*P pixels].
+        L, K, D = model.codebooks.shape
+        T_local = feat_t.shape[0]
+        flat = feat_t.reshape(T_local * rasterize_tiles.P, L * K)
+        feat = None
+        for i in range(layer_idx + 1):
+            layer = flat[:, i * K:(i + 1) * K] @ model.codebooks[i]
+            if feat is not None:
+                layer = layer + jax.lax.stop_gradient(feat)
+            feat = layer  # [T_local*P, D]
+
+        # Gather GT pixels for these tiles (gt maps padded to the tile grid).
+        gt_tiles = _image_to_tiles(gt_feat, grid_x, grid_y)      # [T, P, D]
+        mask_tiles = _image_to_tiles(gt_mask.astype(jnp.float32), grid_x, grid_y)
+        valid_tiles = _image_to_tiles(jnp.ones((1, H, W)), grid_x, grid_y)
+        safe = jnp.minimum(tile_ids_local, num_tiles - 1)
+        in_range = (tile_ids_local < num_tiles).astype(jnp.float32)
+        gt_local = gt_tiles[safe].reshape(T_local * rasterize_tiles.P, D)
+        m_local = (mask_tiles[safe][..., 0] * in_range[:, None]).reshape(-1)
+        # In-image pixels (padding rows/cols of edge tiles excluded so the
+        # cross-shard mean equals the single-device H*W mean exactly; a
+        # feature-masked pixel still contributes the constant 1-cos(0,0)=1
+        # like the reference's unmasked mean).
+        valid = (valid_tiles[safe][..., 0] * in_range[:, None]).reshape(-1)
+
+        pn = losses.safe_norm(feat * m_local[:, None], axis=1)
+        gn = losses.safe_norm(gt_local * m_local[:, None], axis=1)
+        sim = (feat * gt_local).sum(1) * (m_local ** 2) / (pn * gn)
+        cos_sum = jnp.sum(valid * (1.0 - sim))
+        l1_sum = jnp.sum(jnp.abs(feat - gt_local) * m_local[:, None]
+                         * valid[:, None])
+        count = jnp.asarray(H * W, jnp.float32)
+        total = 0.0
+        if use_cos_loss:
+            total = total + cos_sum / count
+        if use_l1_loss:
+            total = total + l1_sum / (count * D)
+        return total
+
+    def sharded_loss(params, model, views, projs, camposs, bg,
+                     gt_feats, gt_masks):
+        model = model.replace(**params)
+
+        def shard_fn(model, bg, views, projs, camposs, gt_feats, gt_masks,
+                     tile_ids_local):
+            # The model pytree MUST flow through shard_map as an explicit
+            # replicated argument: gradients of closure-captured tracers are
+            # not psum'd across shards.
+            # views etc: [B/n_data, ...]; tile_ids_local: [T/n_tile]
+            per_cam = 0.0
+            B_local = views.shape[0]
+            for b in range(B_local):
+                per_cam = per_cam + loss_one_camera(
+                    model, views[b], projs[b], camposs[b], bg,
+                    gt_feats[b], gt_masks[b], tile_ids_local)
+            # Global mean over all cameras and all tile shards.
+            total = jax.lax.psum(per_cam, ("data", "tile"))
+            return total / (B_local * n_data)
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), data_spec_cam, data_spec_cam, data_spec_cam,
+                      data_spec_cam, data_spec_cam, P("tile")),
+            out_specs=P(),
+            check_rep=False,
+        )(model, bg, views, projs, camposs, gt_feats, gt_masks, tile_ids_full)
+
+    return sharded_loss
+
+
+def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
+    """[C, H, W] -> [num_tiles, P, C], zero-padding to the tile grid."""
+    B = projection.BLOCK
+    C, H, W = img.shape
+    img = jnp.pad(img, ((0, 0), (0, grid_y * B - H), (0, grid_x * B - W)))
+    img = img.reshape(C, grid_y, B, grid_x, B)
+    return img.transpose(1, 3, 2, 4, 0).reshape(grid_y * grid_x, B * B, C)

@@ -1,0 +1,385 @@
+"""Jitted training steps + host-side training loops.
+
+Parity target: reference `train.py` — phase A (RGB 3DGS with densify/prune,
+loss (1-l)L1 + l(1-SSIM)) and phase C (language features on frozen geometry,
+cosine and/or L1 on masked CLIP maps with the layer curriculum). The hot
+step is one jit-compiled function per camera geometry; densification is a
+separately-jitted rare path; everything dynamic (camera choice, logging,
+checkpoints) stays on host.
+"""
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as gm
+from ..models.gaussians import GaussianModel
+from ..models.renderer import make_settings, render
+from ..utils import losses
+from ..utils.schedules import expon_lr_func
+from .optimizers import GroupedOptimizer, adam_group, zero_moment_rows, zero_group_moments
+
+RGB_PARAM_NAMES = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
+FEATURE_PARAM_NAMES = ("language_logits", "codebooks")
+
+
+def rgb_params(model: GaussianModel) -> dict:
+    return {k: getattr(model, k) for k in RGB_PARAM_NAMES}
+
+
+def feature_params(model: GaussianModel) -> dict:
+    return {k: getattr(model, k) for k in FEATURE_PARAM_NAMES}
+
+
+def make_rgb_optimizer(opt, spatial_lr_scale: float) -> GroupedOptimizer:
+    """Six param groups with the reference LRs (gaussian_model.py:244-257)."""
+    xyz_schedule = expon_lr_func(
+        lr_init=opt.position_lr_init * spatial_lr_scale,
+        lr_final=opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+    return GroupedOptimizer({
+        "xyz": adam_group(xyz_schedule),
+        "features_dc": adam_group(opt.feature_lr),
+        "features_rest": adam_group(opt.feature_lr / 20.0),
+        "opacity": adam_group(opt.opacity_lr),
+        "scaling": adam_group(opt.scaling_lr),
+        "rotation": adam_group(opt.rotation_lr),
+    })
+
+
+def make_feature_optimizer(opt) -> GroupedOptimizer:
+    """One LR for logits + codebooks (gaussian_model.py:234-238)."""
+    return GroupedOptimizer({
+        "language_logits": adam_group(opt.language_feature_lr),
+        "codebooks": adam_group(opt.language_feature_lr),
+    })
+
+
+# ---------------------------------------------------------------------------
+# RGB phase
+# ---------------------------------------------------------------------------
+
+def make_rgb_train_step(settings, optimizer: GroupedOptimizer, lambda_dssim: float):
+    """Returns jitted (model, opt_state, cam_arrays, gt_image) -> (model,
+    opt_state, metrics). cam_arrays = (view, proj, campos, bg)."""
+
+    @jax.jit
+    def step(model: GaussianModel, opt_state, view, proj, campos, bg, gt_image):
+        params = rgb_params(model)
+        dummy = jnp.zeros((model.capacity, 2), jnp.float32)
+
+        def loss_fn(params, dummy):
+            m = model.replace(**params)
+            out = render(settings, m, view, proj, campos, bg, means2d_dummy=dummy)
+            l1 = losses.l1_loss(out.render, gt_image)
+            loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
+                1.0 - losses.ssim(out.render, gt_image)
+            )
+            return loss, (out, l1)
+
+        (loss, (out, l1)), (grads, dummy_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, dummy)
+
+        # Dead (padding) rows must never move: their forward contribution is
+        # masked to zero, but masked-out branches can still leak NaN
+        # cotangents through jnp.where — hard-zero them.
+        live = model.live
+        grads = {k: jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+                 for k, g in grads.items()}
+        new_params, opt_state = optimizer.update(grads, opt_state, params)
+        model = model.replace(**new_params)
+
+        # Densification statistics (train.py:249-252): track max screen radius
+        # and accumulate viewspace positional gradient norms for visible
+        # gaussians. Cheap, so fused into every step; the caller decides when
+        # to act on them.
+        vis = out.visibility_filter
+        model = model.replace(
+            max_radii2d=jnp.where(
+                vis, jnp.maximum(model.max_radii2d, out.radii.astype(jnp.float32)),
+                model.max_radii2d,
+            ),
+            xyz_gradient_accum=model.xyz_gradient_accum + jnp.where(
+                vis[:, None],
+                jnp.linalg.norm(dummy_grad[:, :2], axis=-1, keepdims=True), 0.0),
+            denom=model.denom + jnp.where(vis[:, None], 1.0, 0.0),
+        )
+        metrics = {
+            "loss": loss, "l1": l1,
+            "num_visible": vis.sum(),
+            "max_tile_count": out.max_tile_count,
+            "total_entries": out.total_entries,
+        }
+        return model, opt_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Language-feature phase
+# ---------------------------------------------------------------------------
+
+def make_feature_train_step(
+    settings,
+    optimizer: GroupedOptimizer,
+    topk: int,
+    use_cos_loss: bool = True,
+    use_l1_loss: bool = False,
+    normalize: bool = False,
+):
+    """Feature-phase step (train.py:146-167): geometry frozen, optimize
+    logits + codebooks against the masked 2D CLIP map. `layer_idx` is static
+    (the curriculum changes it at most vq_layer_num times per run)."""
+
+    @partial(jax.jit, static_argnames=("layer_idx",))
+    def step(model: GaussianModel, opt_state, view, proj, campos, bg,
+             gt_feature, feature_mask, layer_idx: int = 0):
+        params = feature_params(model)
+
+        def loss_fn(params):
+            m = model.replace(**params)
+            out = render(settings, m, view, proj, campos, bg,
+                         include_feature=True, topk=topk)
+            feat = m.compute_layer_feature_map(
+                out.language_feature_weight_map, layer_idx)
+            if normalize:
+                feat = feat / (jnp.linalg.norm(feat, axis=0, keepdims=True) + 1e-10)
+            mask = feature_mask.astype(feat.dtype)
+            loss = 0.0
+            l1 = jnp.asarray(0.0)
+            if use_cos_loss:
+                loss = loss + losses.cos_loss(feat * mask, gt_feature * mask)
+            if use_l1_loss:
+                l1 = losses.l1_loss(feat * mask, gt_feature * mask)
+                loss = loss + l1
+            return loss, l1
+
+        (loss, l1), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # Dead (padding) rows must not drift: their logits get no gradient
+        # because opacity is forced to 0, but guard explicitly anyway.
+        grads["language_logits"] = jnp.where(
+            model.live[:, None], grads["language_logits"], 0.0)
+        new_params, opt_state = optimizer.update(grads, opt_state, params)
+        model = model.replace(**new_params)
+        return model, opt_state, {"loss": loss, "l1": l1}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Densification driver (host-side rare path)
+# ---------------------------------------------------------------------------
+
+def run_densify(model: GaussianModel, opt_state, key, opt, extent: float,
+                max_screen_size: float):
+    """Jitted densify + optimizer-state surgery, with host-side capacity
+    growth on overflow (SURVEY.md §7 hard part 3)."""
+    while True:
+        new_model, overflow, placed = gm.densify_and_prune(
+            model, key,
+            max_grad=opt.densify_grad_threshold, min_opacity=0.005,
+            extent=extent, max_screen_size=max_screen_size,
+            percent_dense=opt.percent_dense,
+        )
+        if int(overflow) == 0:
+            opt_state = zero_moment_rows(opt_state, placed)
+            return new_model, opt_state
+        # Grow capacity (power-of-two-ish) and retry; optimizer state grows
+        # with zero rows, matching appended-zero Adam state.
+        old_cap = model.capacity
+        new_cap = max(old_cap + int(overflow), int(old_cap * 1.5))
+        new_cap = -(-new_cap // 256) * 256
+        model = gm.grow_capacity(model, new_cap)
+        opt_state = jax.tree_util.tree_map(
+            lambda leaf: _grow_rows(leaf, old_cap, new_cap), opt_state)
+
+
+def _grow_rows(leaf, old_cap: int, new_cap: int):
+    if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == old_cap:
+        pad = [(0, new_cap - old_cap)] + [(0, 0)] * (leaf.ndim - 1)
+        return jnp.pad(leaf, pad)
+    return leaf
+
+
+def apply_opacity_reset(model: GaussianModel, opt_state):
+    """reset_opacity + zero the opacity group's Adam moments
+    (gaussian_model.py:308-311 + replace_tensor_to_optimizer)."""
+    model = gm.reset_opacity(model)
+    return model, zero_group_moments(opt_state, "opacity")
+
+
+# ---------------------------------------------------------------------------
+# Host training loops
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainLogs:
+    losses: list = field(default_factory=list)
+    ema_loss: float = 0.0
+    events: list = field(default_factory=list)
+
+
+def camera_arrays(camera, bg):
+    return (
+        jnp.asarray(camera.world_view_transform),
+        jnp.asarray(camera.full_proj_transform),
+        jnp.asarray(camera.camera_center),
+        jnp.asarray(bg, jnp.float32),
+    )
+
+
+def train_rgb(
+    model: GaussianModel,
+    cameras: list,
+    opt,
+    extent: float,
+    *,
+    iterations: int | None = None,
+    first_iter: int = 0,
+    bg_color=(0, 0, 0),
+    white_background: bool = False,
+    seed: int = 0,
+    tile_cap: int = 1024,
+    max_entries: int = 2 ** 21,
+    on_iteration: Callable[[int, GaussianModel, dict], None] | None = None,
+):
+    """Phase-A loop (reference train.py:114-267 without the GUI poll).
+
+    Returns (model, opt_state, logs)."""
+    iterations = iterations or opt.iterations
+    optimizer = make_rgb_optimizer(opt, model.spatial_lr_scale)
+    opt_state = optimizer.init(rgb_params(model))
+    rng = random.Random(seed)
+    key = jax.random.PRNGKey(seed)
+    logs = TrainLogs()
+
+    # One compiled step per camera geometry (all LERF cameras share one).
+    step_cache: dict[tuple, Callable] = {}
+
+    def get_step(camera, sh_degree):
+        sig = (camera.image_height, camera.image_width,
+               round(camera.tanfovx, 9), round(camera.tanfovy, 9), sh_degree)
+        if sig not in step_cache:
+            settings = make_settings(camera, sh_degree, 1.0, max_entries,
+                                     tile_cap, tile_batch=16)
+            step_cache[sig] = make_rgb_train_step(settings, optimizer, opt.lambda_dssim)
+        return step_cache[sig]
+
+    viewpoint_stack: list = []
+    for iteration in range(first_iter + 1, iterations + 1):
+        if iteration % 1000 == 0:
+            model = model.one_up_sh_degree()
+        if not viewpoint_stack:
+            viewpoint_stack = list(cameras)
+        cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
+
+        step = get_step(cam, model.active_sh_degree)
+        view, proj, campos, bg = camera_arrays(cam, bg_color)
+        gt = jnp.asarray(cam.image)
+        model, opt_state, metrics = step(model, opt_state, view, proj, campos, bg, gt)
+
+        loss = float(metrics["loss"])
+        logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss
+        logs.losses.append(loss)
+
+        # Densification schedule (train.py:246-258).
+        if iteration < opt.densify_until_iter:
+            if iteration > opt.densify_from_iter and \
+                    iteration % opt.densification_interval == 0:
+                size_threshold = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                key, sub = jax.random.split(key)
+                model, opt_state = run_densify(
+                    model, opt_state, sub, opt, extent, size_threshold)
+                logs.events.append((iteration, "densify", int(model.num_live)))
+            if iteration % opt.opacity_reset_interval == 0 or (
+                    white_background and iteration == opt.densify_from_iter):
+                model, opt_state = apply_opacity_reset(model, opt_state)
+                logs.events.append((iteration, "opacity_reset", None))
+
+        if on_iteration is not None:
+            on_iteration(iteration, model, metrics)
+    return model, opt_state, logs
+
+
+def train_features(
+    model: GaussianModel,
+    cameras: list,
+    opt,
+    lf_dir: str,
+    feature_level: int,
+    *,
+    iterations: int = 10_000,
+    first_iter: int = 0,
+    topk: int = 4,
+    use_cos_loss: bool = True,
+    use_l1_loss: bool = False,
+    normalize: bool = False,
+    bg_color=(0, 0, 0),
+    seed: int = 0,
+    tile_cap: int = 1024,
+    max_entries: int = 2 ** 21,
+    feature_cache: dict | None = None,
+    on_iteration: Callable[[int, GaussianModel, dict], None] | None = None,
+):
+    """Phase-C loop (reference train.py language branch). Geometry frozen.
+
+    `feature_cache` maps camera.image_name -> (features, mask) to avoid
+    re-loading npys every epoch; pass {} to enable caching."""
+    assert model.language_logits is not None and model.codebooks is not None
+    optimizer = make_feature_optimizer(opt)
+    opt_state = optimizer.init(feature_params(model))
+    rng = random.Random(seed)
+    logs = TrainLogs()
+    layer_num = model.codebooks.shape[0]
+
+    step_cache: dict[tuple, Callable] = {}
+
+    def get_step(camera):
+        sig = (camera.image_height, camera.image_width,
+               round(camera.tanfovx, 9), round(camera.tanfovy, 9))
+        if sig not in step_cache:
+            settings = make_settings(camera, model.active_sh_degree, 1.0,
+                                     max_entries, tile_cap, tile_batch=16)
+            step_cache[sig] = make_feature_train_step(
+                settings, optimizer, topk, use_cos_loss, use_l1_loss, normalize)
+        return step_cache[sig]
+
+    def get_gt(cam):
+        if feature_cache is not None and cam.image_name in feature_cache:
+            return feature_cache[cam.image_name]
+        feat, mask = cam.get_language_feature(lf_dir, feature_level)
+        pair = (jnp.asarray(feat), jnp.asarray(mask))
+        if feature_cache is not None:
+            feature_cache[cam.image_name] = pair
+        return pair
+
+    viewpoint_stack: list = []
+    for iteration in range(first_iter + 1, iterations + 1):
+        if not viewpoint_stack:
+            viewpoint_stack = list(cameras)
+        cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
+        # Layer curriculum (train.py:155-156).
+        layer_idx = min(int(iteration / 10000 * layer_num), layer_num - 1)
+
+        step = get_step(cam)
+        view, proj, campos, bg = camera_arrays(cam, bg_color)
+        gt_feat, gt_mask = get_gt(cam)
+        model, opt_state, metrics = step(
+            model, opt_state, view, proj, campos, bg, gt_feat, gt_mask,
+            layer_idx=layer_idx)
+
+        loss = float(metrics["loss"])
+        logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss
+        logs.losses.append(loss)
+        if on_iteration is not None:
+            on_iteration(iteration, model, metrics)
+    return model, opt_state, logs

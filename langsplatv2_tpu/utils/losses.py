@@ -33,14 +33,26 @@ def psnr(pred, gt):
     return 20 * jnp.log10(1.0 / jnp.sqrt(mse(pred, gt)))
 
 
+def safe_norm(x, axis, eps: float = 1e-8):
+    """L2 norm clamped below at eps, with a finite gradient at x=0.
+
+    `sqrt(sum(x^2))` has a 0/0 NaN gradient at exactly zero vectors (e.g.
+    pixels no Gaussian touches); the where-guard routes the gradient to the
+    constant branch there, matching torch's clamp_min semantics in the
+    backward (the zero-vector's norm contributes no gradient)."""
+    sq = (x * x).sum(axis=axis)
+    safe = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.maximum(jnp.where(sq > 0, safe, 0.0), eps)
+
+
 def cos_loss(pred, gt, axis: int = 0, eps: float = 1e-8):
     """1 - mean cosine similarity along `axis` (reference loss_utils.py:24-25).
 
     Matches torch.nn.functional.cosine_similarity's eps clamp semantics:
     each vector's norm is clamped below at `eps`.
     """
-    pn = jnp.maximum(jnp.linalg.norm(pred, axis=axis), eps)
-    gn = jnp.maximum(jnp.linalg.norm(gt, axis=axis), eps)
+    pn = safe_norm(pred, axis, eps)
+    gn = safe_norm(gt, axis, eps)
     sim = (pred * gt).sum(axis=axis) / (pn * gn)
     return 1.0 - sim.mean()
 

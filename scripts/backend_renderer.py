@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""ZMQ render server CLI (reference backend_renderer.py __main__).
+
+  python scripts/backend_renderer.py --ckpt_paths <m1> <m2> <m3> \
+      --iteration 10000 --zmq_port 5555
+Each <mi> is a feature-model dir containing chkpnt<iteration>.npz.
+"""
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--ckpt_paths", nargs="+", type=str, required=True)
+    parser.add_argument("--iteration", type=int, default=10000)
+    parser.add_argument("--zmq_port", type=int, default=5555)
+    parser.add_argument("--white_background", action="store_true")
+    parser.add_argument("--clip_backend", type=str, default="auto")
+    args = parser.parse_args()
+
+    from langsplatv2_tpu.eval.lerf import merge_level_models
+    from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
+    from langsplatv2_tpu.models.io import load_checkpoint_auto
+    from langsplatv2_tpu.serve.backend import BackendRenderer
+
+    models = []
+    for path in args.ckpt_paths:
+        ckpt = os.path.join(path, f"chkpnt{args.iteration}.npz")
+        model, _ = load_checkpoint_auto(ckpt)
+        models.append(model)
+    merged = merge_level_models(models)
+
+    bg = (1.0, 1.0, 1.0) if args.white_background else (0.0, 0.0, 0.0)
+    server = BackendRenderer(
+        merged, zmq_port=args.zmq_port, background=bg,
+        clip_model=OpenCLIPNetwork(backend=args.clip_backend))
+    server.run()
+
+
+if __name__ == "__main__":
+    main()

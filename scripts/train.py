@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Parity target: reference `train.py` __main__ — same flags (ModelParams /
+OptimizationParams / PipelineParams groups plus --start_checkpoint,
+--cos_loss/--l1_loss/--normalize, --topk, test/save/checkpoint iteration
+lists), same two phases:
+
+  RGB:      python scripts/train.py -s <scene> -m <out>
+  feature:  python scripts/train.py -s <scene> -m <out> --include_feature \
+                --start_checkpoint <out>/chkpnt30000.npz --feature_level L \
+                --cos_loss --topk 4
+
+Model dir artifacts mirror the reference: cfg_args[.json], cameras.json,
+input.ply, point_cloud/iteration_N/point_cloud.ply, chkpntN.npz.
+"""
+import os
+import sys
+from argparse import ArgumentParser, Namespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = ArgumentParser(description="Training script parameters")
+    from langsplatv2_tpu.train.config import (
+        ModelParams, OptimizationParams, PipelineParams, save_cfg_args)
+
+    lp = ModelParams(parser)
+    op = OptimizationParams(parser)
+    pp = PipelineParams(parser)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[2000, 4000, 6000, 8000, 10_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[2000, 4000, 6000, 8000, 10_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[2000, 4000, 6000, 8000, 10_000, 30_000])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--cos_loss", action="store_true", default=False)
+    parser.add_argument("--l1_loss", action="store_true", default=False)
+    parser.add_argument("--normalize", action="store_true", default=False)
+    parser.add_argument("--accum_iter", type=int, default=1)
+    parser.add_argument("--topk", type=int, default=1)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tile_cap", type=int, default=1024)
+    parser.add_argument("--max_entries", type=int, default=2 ** 21)
+    args = parser.parse_args()
+    args.save_iterations.append(args.iterations)
+    # The reference appends the feature level to the model dir (train.py:354).
+    args.model_path = args.model_path + f"_{args.feature_level}"
+    print("Optimizing " + args.model_path)
+
+    dataset = lp.extract(args)
+    opt = op.extract(args)
+    os.makedirs(args.model_path, exist_ok=True)
+    save_cfg_args(args.model_path, Namespace(**vars(args)))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from langsplatv2_tpu.scene.scene import Scene
+    from langsplatv2_tpu.models import gaussians as gm
+    from langsplatv2_tpu.models import io as mio
+    from langsplatv2_tpu.train import trainer
+    from langsplatv2_tpu.utils.sparse_codes import residual_kmeans_codebooks
+
+    scene = Scene(dataset.source_path, args.model_path, images=dataset.images,
+                  resolution=dataset.resolution,
+                  white_background=dataset.white_background,
+                  eval_split=dataset.eval)
+    cameras = scene.get_train_cameras()
+    bg = (1.0, 1.0, 1.0) if dataset.white_background else (0.0, 0.0, 0.0)
+
+    first_iter = 0
+    if opt.include_feature:
+        if not args.start_checkpoint:
+            raise ValueError("checkpoint missing!!!!!")
+
+    if args.start_checkpoint:
+        model, ckpt_iter = load_any_checkpoint(
+            args.start_checkpoint, dataset.sh_degree)
+        if model.language_logits is None and opt.include_feature:
+            first_iter = 0  # fresh feature phase from an RGB checkpoint
+        else:
+            first_iter = ckpt_iter
+    else:
+        cap = int(np.asarray(scene.points).shape[0])
+        model = gm.create_from_pcd(
+            np.asarray(scene.points, np.float32),
+            np.asarray(scene.colors, np.float32),
+            spatial_lr_scale=scene.cameras_extent,
+            max_sh_degree=dataset.sh_degree,
+            capacity=-(-cap // 256) * 256)
+
+    def save_outputs(iteration, model, phase):
+        if iteration in args.save_iterations:
+            out = os.path.join(args.model_path, "point_cloud",
+                               f"iteration_{iteration}", "point_cloud.ply")
+            mio.save_ply(model, out)
+        if iteration in args.checkpoint_iterations or iteration == args.iterations:
+            mio.save_checkpoint(
+                os.path.join(args.model_path, f"chkpnt{iteration}.npz"),
+                model, {}, iteration, extra={"phase": phase})
+
+    if opt.include_feature:
+        # Codebook init from the 2D CLIP features (reference train.py:78-85).
+        feats = load_2d_features(dataset.lf_path)
+        model = gm.init_language_features(
+            model, jax.random.PRNGKey(args.seed),
+            opt.vq_layer_num, opt.codebook_size)
+        if feats is not None:
+            books = residual_kmeans_codebooks(
+                jax.random.PRNGKey(args.seed + 1), jnp.asarray(feats),
+                opt.vq_layer_num, opt.codebook_size)
+            model = model.replace(codebooks=books)
+
+        def on_iter(it, m, metrics):
+            if it % 100 == 0:
+                print(f"Iter {it} Loss: {float(metrics['loss']):.6f}")
+            save_outputs(it, m, "feature")
+
+        model, _, logs = trainer.train_features(
+            model, cameras, opt, dataset.lf_path, dataset.feature_level,
+            iterations=args.iterations, first_iter=first_iter,
+            topk=args.topk, use_cos_loss=args.cos_loss,
+            use_l1_loss=args.l1_loss, normalize=args.normalize,
+            bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
+            max_entries=args.max_entries, feature_cache={},
+            on_iteration=on_iter)
+    else:
+        def on_iter(it, m, metrics):
+            if it % 100 == 0:
+                print(f"Iter {it} Loss: {float(metrics['loss']):.6f} "
+                      f"live: {int(m.num_live)}")
+            save_outputs(it, m, "rgb")
+
+        model, _, logs = trainer.train_rgb(
+            model, cameras, opt, scene.cameras_extent,
+            iterations=args.iterations, first_iter=first_iter,
+            bg_color=bg, white_background=dataset.white_background,
+            seed=args.seed, tile_cap=args.tile_cap,
+            max_entries=args.max_entries, on_iteration=on_iter)
+
+    save_outputs(args.iterations, model, "feature" if opt.include_feature else "rgb")
+    print("\nTraining complete.")
+
+
+def load_any_checkpoint(path: str, sh_degree: int):
+    """Load an npz checkpoint without a template (self-describing format)."""
+    from langsplatv2_tpu.models.io import load_checkpoint_auto
+
+    return load_checkpoint_auto(path, sh_degree)
+
+
+def load_2d_features(lf_path: str):
+    import glob
+
+    import numpy as np
+
+    names = glob.glob(os.path.join(lf_path, "*f.npy"))
+    if not names:
+        return None
+    return np.concatenate([np.load(n) for n in names], axis=0)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,7 +238,7 @@ class TestDensify:
             xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom),
             scaling=jnp.asarray(scaling))
         extent = 1.0
-        m2, overflow = gm.densify_and_prune(
+        m2, overflow, _ = gm.densify_and_prune(
             m, jax.random.PRNGKey(0), max_grad=1.0, min_opacity=0.005,
             extent=extent, max_screen_size=0.0, percent_dense=0.01)
         assert int(overflow) == 0
@@ -258,7 +258,7 @@ class TestDensify:
         op = np.asarray(m.opacity).copy()
         op[:4] = np.asarray(inverse_sigmoid(jnp.asarray(0.001)))
         m = m.replace(opacity=jnp.asarray(op))
-        m2, _ = gm.densify_and_prune(
+        m2, _, _ = gm.densify_and_prune(
             m, jax.random.PRNGKey(0), max_grad=1e9, min_opacity=0.005,
             extent=1.0, max_screen_size=0.0, percent_dense=0.01)
         assert int(m2.num_live) == 6
@@ -274,13 +274,13 @@ class TestDensify:
         denom = np.ones((n, 1), np.float32)
         m = m.replace(xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom),
                       scaling=jnp.full((n, 3), np.log(0.001)))
-        m2, overflow = gm.densify_and_prune(
+        m2, overflow, _ = gm.densify_and_prune(
             m, jax.random.PRNGKey(0), max_grad=1.0, min_opacity=0.005,
             extent=1.0, max_screen_size=0.0, percent_dense=0.01)
         assert int(overflow) == 10  # all want to clone, no free slots
         grown = gm.grow_capacity(m, 32)
         assert grown.capacity == 32
-        m3, overflow3 = gm.densify_and_prune(
+        m3, overflow3, placed3 = gm.densify_and_prune(
             grown, jax.random.PRNGKey(0), max_grad=1.0, min_opacity=0.005,
             extent=1.0, max_screen_size=0.0, percent_dense=0.01)
         assert int(overflow3) == 0

@@ -1,0 +1,169 @@
+"""Multi-chip tests on the 8-device CPU mesh: the tile-sharded renderer and
+the sharded feature training step must match their single-device versions
+(allclose), and gradients must be correctly psum'd across shards."""
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langsplatv2_tpu.models import gaussians as gm
+from langsplatv2_tpu.models.renderer import make_settings, render
+from langsplatv2_tpu.ops import RasterizeSettings, rasterize
+from langsplatv2_tpu.parallel import (
+    make_device_mesh, rasterize_sharded, make_sharded_feature_train_step)
+from langsplatv2_tpu.train import trainer
+from langsplatv2_tpu.train.trainer import (
+    make_feature_optimizer, make_feature_train_step, feature_params)
+from scene_fixtures import make_camera, random_gaussians
+
+H, W = 48, 64
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def settings_for(cam, **over):
+    base = dict(image_height=H, image_width=W, tanfovx=cam["tanfovx"],
+                tanfovy=cam["tanfovy"], sh_degree=0, max_entries=2 ** 14,
+                tile_cap=256, tile_batch=2)
+    base.update(over)
+    return RasterizeSettings(**base)
+
+
+class TestShardedRender:
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (1, 4)])
+    def test_matches_single_device(self, rng, mesh_shape):
+        g = random_gaussians(rng, 150, feat_dim=16)
+        cam = make_camera(H, W)
+        settings = settings_for(cam)
+        mesh = make_device_mesh(*mesh_shape)
+
+        single = rasterize(
+            settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+            features=g["features"])
+        rgb_s, feat_s, radii_s, final_s = rasterize_sharded(
+            mesh, settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+            features=g["features"])
+        np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(single.rgb), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feat_s), np.asarray(single.feature_map), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(radii_s), np.asarray(single.radii))
+
+    def test_quick_mode_sharded(self, rng):
+        n = 80
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam)
+        mesh = make_device_mesh(1, 8)
+        qw = jnp.asarray(rng.uniform(0, 1, (n, 12)).astype(np.float32))
+        qi = jnp.asarray(rng.integers(0, 192, (n, 12)).astype(np.float32))
+        single = rasterize(
+            settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+            quick_weights=qw, quick_indices=qi, quick_channels=192)
+        _, feat_s, _, _ = rasterize_sharded(
+            mesh, settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+            quick_weights=qw, quick_indices=qi, quick_channels=192)
+        np.testing.assert_allclose(
+            np.asarray(feat_s), np.asarray(single.feature_map), atol=1e-5)
+
+
+class TestShardedTraining:
+    def _setup(self, rng, n=60):
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        model = gm.create_from_pcd(
+            np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 1.0))
+        model = gm.init_language_features(model, jax.random.PRNGKey(3), 1, 16)
+        gt_feat = np.zeros((512, H, W), np.float32)
+        gt_feat[0] = 1.0
+        gt_mask = np.ones((1, H, W), np.float32)
+        return g, cam, model, jnp.asarray(gt_feat), jnp.asarray(gt_mask)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_sharded_loss_and_grads_match_unsharded(self, rng, mesh_shape):
+        """Compare losses and GRADIENTS (psum'd across shards) against the
+        single-device path. Post-Adam params are deliberately not compared:
+        the first Adam step is sign descent (g/|g|), so benign float
+        reassociation across shards would flip updates by 2*lr."""
+        from langsplatv2_tpu.models.renderer import render as facade_render
+        from langsplatv2_tpu.parallel import sharding as sh
+        from langsplatv2_tpu.utils import losses as L
+
+        g, cam, model, gt_feat, gt_mask = self._setup(rng)
+        settings = settings_for(cam)
+
+        def unsharded_loss(params):
+            m = model.replace(**params)
+            out = facade_render(settings, m, cam["viewmatrix"], cam["projmatrix"],
+                                cam["campos"], jnp.zeros(3),
+                                include_feature=True, topk=4)
+            feat = m.compute_layer_feature_map(out.language_feature_weight_map, 0)
+            mask = gt_mask.astype(feat.dtype)
+            return L.cos_loss(feat * mask, gt_feat * mask)
+
+        params = feature_params(model)
+        loss_ref, grads_ref = jax.value_and_grad(unsharded_loss)(params)
+
+        mesh = make_device_mesh(*mesh_shape)
+        B = mesh.shape["data"]
+        opt = types.SimpleNamespace(language_feature_lr=0.01)
+        optimizer = make_feature_optimizer(opt)
+        step = make_sharded_feature_train_step(mesh, settings, optimizer, topk=4)
+
+        # Recover loss + grads from the sharded step by probing its internals
+        # through one update with a zero-LR optimizer clone: instead, call the
+        # sharded loss directly.
+        views = jnp.tile(cam["viewmatrix"][None], (B, 1, 1))
+        projs = jnp.tile(cam["projmatrix"][None], (B, 1, 1))
+        camposs = jnp.tile(cam["campos"][None], (B, 1))
+        gt_feats = jnp.tile(gt_feat[None], (B, 1, 1, 1))
+        gt_masks = jnp.tile(gt_mask[None], (B, 1, 1, 1))
+
+        # Use the module's sharded loss builder via the step factory's
+        # closure equivalent: rebuild it directly.
+        sharded_step = step  # runs one Adam update; also returns the loss
+        _, _, met = sharded_step(
+            model, optimizer.init(params), views, projs, camposs,
+            jnp.zeros(3), gt_feats, gt_masks)
+        np.testing.assert_allclose(float(met["loss"]), float(loss_ref), rtol=1e-5)
+
+        sharded_loss = sh.make_sharded_feature_loss(mesh, settings, topk=4)
+        grads_sh = jax.grad(sharded_loss)(
+            params, model, views, projs, camposs, jnp.zeros(3),
+            gt_feats, gt_masks)
+        for k in grads_ref:
+            a, b = np.asarray(grads_sh[k]), np.asarray(grads_ref[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                       err_msg=k)
+
+    def test_sharded_training_reduces_loss(self, rng):
+        g, cam, model, gt_feat, gt_mask = self._setup(rng)
+        settings = settings_for(cam)
+        opt = types.SimpleNamespace(language_feature_lr=0.05)
+        optimizer = make_feature_optimizer(opt)
+        opt_state = optimizer.init(feature_params(model))
+        mesh = make_device_mesh(2, 4)
+        step = make_sharded_feature_train_step(mesh, settings, optimizer, topk=4)
+        B = 2
+        views = jnp.tile(cam["viewmatrix"][None], (B, 1, 1))
+        projs = jnp.tile(cam["projmatrix"][None], (B, 1, 1))
+        camposs = jnp.tile(cam["campos"][None], (B, 1))
+        gt_feats = jnp.tile(gt_feat[None], (B, 1, 1, 1))
+        gt_masks = jnp.tile(gt_mask[None], (B, 1, 1, 1))
+        losses = []
+        for _ in range(15):
+            model, opt_state, met = step(
+                model, opt_state, views, projs, camposs, jnp.zeros(3),
+                gt_feats, gt_masks)
+            losses.append(float(met["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses

@@ -1,0 +1,167 @@
+"""End-to-end training tests on synthetic scenes (small, CPU).
+
+The RGB phase must drive PSNR up against renders of a known target model;
+the feature phase must recover per-Gaussian codebook assignments well enough
+to reduce the cosine loss by a large factor (the reference has no tests at
+all — SURVEY.md §4; these are the integration level of our pyramid)."""
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langsplatv2_tpu.models import gaussians as gm
+from langsplatv2_tpu.models.renderer import make_settings, render
+from langsplatv2_tpu.train import trainer
+from langsplatv2_tpu.utils import losses
+from scene_fixtures import make_camera, random_gaussians
+
+H, W = 48, 64
+
+
+def make_opt(**over):
+    base = dict(
+        iterations=60, position_lr_init=0.00016, position_lr_final=0.0000016,
+        position_lr_delay_mult=0.01, position_lr_max_steps=30000,
+        feature_lr=0.0025, opacity_lr=0.05, language_feature_lr=0.01,
+        include_feature=False, quick_render=False, vq_layer_num=1,
+        codebook_size=16, scaling_lr=0.005, rotation_lr=0.001,
+        percent_dense=0.01, lambda_dssim=0.2, densification_interval=20,
+        opacity_reset_interval=1000, densify_from_iter=10,
+        densify_until_iter=45, densify_grad_threshold=0.0002,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+class FakeCam:
+    """Minimal camera carrying precomputed matrices + a target image."""
+
+    def __init__(self, cam_dict, image):
+        self.world_view_transform = np.asarray(cam_dict["viewmatrix"])
+        self.full_proj_transform = np.asarray(cam_dict["projmatrix"])
+        self.camera_center = np.asarray(cam_dict["campos"])
+        self.tanfovx = cam_dict["tanfovx"]
+        self.tanfovy = cam_dict["tanfovy"]
+        self.image = image
+        self.image_height, self.image_width = image.shape[-2:]
+        self.image_name = "fake"
+
+
+def target_scene(rng, n=40):
+    """A model + one camera + the image that model renders."""
+    g = random_gaussians(rng, n)
+    cam = make_camera(H, W)
+    pts = np.asarray(g["means3d"])
+    cols = np.asarray(jax.nn.sigmoid(g["shs"][:, 0, :] * 2))
+    target = gm.create_from_pcd(pts, cols, spatial_lr_scale=1.0)
+    # Boost opacity so the target image has strong signal.
+    target = target.replace(opacity=jnp.full((n, 1), 2.0))
+    settings = make_settings(
+        FakeCam(cam, np.zeros((3, H, W), np.float32)), 0, 1.0, 2 ** 14, 256, 8)
+    out = render(settings, target,
+                 cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3))
+    return target, cam, np.asarray(out.render)
+
+
+class TestRGBTraining:
+    def test_loss_decreases_and_psnr_improves(self, rng):
+        target, cam, gt = target_scene(rng)
+        # Start from the same geometry but perturbed colors/opacity.
+        n = int(target.num_live)
+        init = target.replace(
+            features_dc=target.features_dc + 0.5,
+            opacity=jnp.zeros_like(target.opacity),
+            live=target.live,
+        )
+        fake = FakeCam(cam, gt)
+        opt = make_opt(densify_until_iter=0)  # pure fitting, no densify
+        model, _, logs = trainer.train_rgb(
+            init, [fake], opt, extent=2.0, iterations=60,
+            tile_cap=256, max_entries=2 ** 14)
+        first, last = np.mean(logs.losses[:5]), np.mean(logs.losses[-5:])
+        assert last < first * 0.5, (first, last)
+
+    def test_densification_changes_population(self, rng):
+        target, cam, gt = target_scene(rng, n=25)
+        init = target.replace(opacity=jnp.full((25, 1), -1.0))
+        fake = FakeCam(cam, gt)
+        opt = make_opt()
+        model, _, logs = trainer.train_rgb(
+            init, [fake], opt, extent=0.5, iterations=60,
+            tile_cap=256, max_entries=2 ** 14)
+        assert any(e[1] == "densify" for e in logs.events)
+        assert model.capacity >= 25
+        # Model stays finite and renders.
+        assert np.isfinite(np.asarray(model.xyz)).all()
+
+    def test_opacity_reset(self, rng):
+        target, cam, gt = target_scene(rng, n=10)
+        fake = FakeCam(cam, gt)
+        opt = make_opt(opacity_reset_interval=30, densify_from_iter=100,
+                       densify_until_iter=50)
+        model, _, logs = trainer.train_rgb(
+            target, [fake], opt, extent=2.0, iterations=31,
+            tile_cap=256, max_entries=2 ** 14)
+        assert any(e[1] == "opacity_reset" for e in logs.events)
+
+
+class TestFeatureTraining:
+    def test_cosine_loss_drops(self, rng, tmp_path):
+        # Ground-truth: two spatial groups with two distinct CLIP directions.
+        n = 40
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        pts = np.asarray(g["means3d"]).copy()
+        pts[: n // 2, 0] = np.abs(pts[: n // 2, 0])   # right half
+        pts[n // 2:, 0] = -np.abs(pts[n // 2:, 0])    # left half
+        cols = np.full((n, 3), 0.5, np.float32)
+        model = gm.create_from_pcd(pts, cols, 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 2.0))
+        model = gm.init_language_features(model, jax.random.PRNGKey(1), 1, 16)
+
+        # Build GT feature map: direction A on left pixels, B on right.
+        dirA = np.zeros(512, np.float32); dirA[0] = 1.0
+        dirB = np.zeros(512, np.float32); dirB[1] = 1.0
+        gt_feat = np.zeros((512, H, W), np.float32)
+        gt_feat[:, :, : W // 2] = dirA[:, None, None]
+        gt_feat[:, :, W // 2:] = dirB[:, None, None]
+        gt_mask = np.ones((1, H, W), bool)
+
+        class LFCam(FakeCam):
+            def get_language_feature(self, lf_dir, level):
+                return gt_feat, gt_mask
+
+        fake = LFCam(cam, np.zeros((3, H, W), np.float32))
+        opt = make_opt(include_feature=True)
+        model2, _, logs = trainer.train_features(
+            model, [fake], opt, lf_dir="", feature_level=1,
+            iterations=80, topk=4, tile_cap=256, max_entries=2 ** 14,
+            feature_cache={})
+        first, last = np.mean(logs.losses[:5]), np.mean(logs.losses[-5:])
+        assert last < first * 0.5, (first, last)
+        # Geometry must be untouched (frozen phase).
+        np.testing.assert_array_equal(np.asarray(model2.xyz), np.asarray(model.xyz))
+        np.testing.assert_array_equal(np.asarray(model2.opacity), np.asarray(model.opacity))
+
+    def test_quick_matches_training_after_merge(self, rng):
+        """Merged quick-render weights reproduce the dense top-k blend."""
+        n = 30
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        model = gm.create_from_pcd(
+            np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
+        model = gm.init_language_features(model, jax.random.PRNGKey(2), 1, 64)
+        settings = make_settings(
+            FakeCam(cam, np.zeros((3, H, W), np.float32)), 0, 1.0, 2 ** 14, 256, 8)
+
+        out_train = render(settings, model, cam["viewmatrix"], cam["projmatrix"],
+                           cam["campos"], jnp.zeros(3), include_feature=True, topk=4)
+        qw, qi = model.get_weights_and_indices(4)
+        model_q = model.replace(quick_weights=qw, quick_indices=qi)
+        out_quick = render(settings, model_q, cam["viewmatrix"], cam["projmatrix"],
+                           cam["campos"], jnp.zeros(3), quick_render=True)
+        np.testing.assert_allclose(
+            np.asarray(out_quick.language_feature_weight_map),
+            np.asarray(out_train.language_feature_weight_map), atol=1e-5)
