@@ -1,0 +1,235 @@
+"""Pallas TPU entry-expansion kernel for tile binning.
+
+Replaces the XLA searchsorted-based key expansion (ops/binning.py), which is
+gather-bound on TPU (~770ms at 6M entries measured on v5e), with a streaming
+kernel built on the structure of the expansion: entries are emitted
+gaussian-major, so the entries of one output chunk come from a *contiguous*
+window of gaussians. Each grid program:
+
+1. DMAs the chunk's gaussian window (contiguous field-major columns — no
+   gather; lane windows are 128-aligned as Mosaic requires),
+2. recovers each entry's source gaussian by comparing the entry id against
+   the window's offset row (a [CHUNK, WINDOW] ownership matrix),
+3. "gathers" the window columns through that one-hot matrix with ONE MXU
+   matmul (selection-by-matmul is exact in f32 for the packed values),
+4. unpacks the tile rectangle and emits (tile_id, depth, gauss_id).
+
+The XLA side packs these into a sortable (hi, lo) u32 key pair
+(tile(13) | depth-bits[30:12] ; depth-bits[11:0] | gauss(20)): depth > 0.2
+so the f32 sign bit is 0 and the bit pattern orders positive depths exactly;
+gauss in the low bits reproduces the stable tie-break of the reference's
+CUDA radix sort (SURVEY.md §2.3(a) stage 2). One two-operand `lax.sort`
+replaces the three-operand two-key sort.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import ProjectedGaussians
+
+CHUNK = 512          # entries per grid program
+WINDOW = 640         # gaussian window columns per sub-step (128-aligned)
+ROW_W = 8            # packed row: x0 y0 rect_w offset gid depth rect_h grid_x
+LANE = 128
+
+GAUSS_MASK = (1 << 20) - 1
+
+
+def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
+                   win_buf, sem, *, n_gauss_cols: int, max_windows: int,
+                   sentinel_tile: int):
+    c = pl.program_id(0)
+    e0 = c * CHUNK
+    gs = g_start_ref[c]
+
+    # Entry ids of this chunk on sublanes: [CHUNK, 1].
+    e_ids = (lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + e0).astype(jnp.float32)
+
+    def win_start(w):
+        al = ((gs // LANE) * LANE) + w * WINDOW
+        return pl.multiple_of(jnp.minimum(al, n_gauss_cols - WINDOW), LANE)
+
+    def win_dma(w):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(win_start(w), WINDOW)], win_buf, sem)
+
+    def loop_body(state):
+        w, rows_acc, _ = state
+        win_dma(w).wait()
+        win = win_buf[...]                         # [ROW_W, WINDOW]
+
+        off = win[3:4, :]                          # [1, WINDOW] entry offsets
+        n_tiles = jnp.maximum(win[2:3, :], 0.0) * jnp.maximum(win[6:7, :], 0.0)
+        cnt_end = off + n_tiles
+        # Ownership: entry e belongs to window column j iff
+        # off_j <= e < off_j + tiles_j. Columns already seen in an earlier
+        # window (end-clamp overlap) are masked so nothing double counts.
+        col_idx = lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1) + win_start(w)
+        fresh = col_idx >= (gs // LANE) * LANE + w * WINDOW
+        onehot = ((off <= e_ids) & (e_ids < cnt_end) & fresh).astype(jnp.float32)
+        # HIGHEST precision: the default TPU bf16 matmul (8-bit mantissa)
+        # corrupts exact integer payloads like entry offsets and gauss ids.
+        rows_acc = rows_acc + lax.dot_general(
+            onehot, win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)       # [CHUNK, ROW_W]
+
+        # Covered once some window column's offset passes the chunk end
+        # (offsets are nondecreasing; pad columns carry a huge offset).
+        covered = jnp.max(off) > (e0 + CHUNK - 1)
+
+        @pl.when(jnp.logical_not(covered) & (w + 1 < max_windows))
+        def _():
+            win_dma(w + 1).start()
+        return w + 1, rows_acc, covered
+
+    def loop_cond(state):
+        w, _, covered = state
+        return (w < max_windows) & jnp.logical_not(covered)
+
+    win_dma(0).start()
+    _, rows, _ = lax.while_loop(
+        loop_cond, loop_body,
+        (0, jnp.zeros((CHUNK, ROW_W), jnp.float32), jnp.asarray(False)))
+
+    # Field lanes: transpose the selected rows once, then unpack.
+    rows_t = jnp.transpose(rows, (1, 0))           # [ROW_W, CHUNK]
+    x0 = rows_t[0:1, :]
+    y0 = rows_t[1:2, :]
+    rect_w = jnp.maximum(rows_t[2:3, :], 1.0)
+    off = rows_t[3:4, :]
+    gid = rows_t[4:5, :]
+    depth = rows_t[5:6, :]
+    grid_x_f = rows_t[7:8, :]
+    owned = rows_t[2:3, :] * rows_t[6:7, :] > 0.0
+
+    e_lane = (lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + e0).astype(jnp.float32)
+    slot = e_lane - off
+    ty_rel = jnp.floor(slot / rect_w)
+    tx_rel = slot - ty_rel * rect_w
+    tile = (y0 + ty_rel) * grid_x_f + (x0 + tx_rel)
+
+    tile_out[0] = jnp.where(owned, tile, float(sentinel_tile)).astype(jnp.int32)
+    depth_out[0] = jnp.where(owned, depth, 0.0)
+    gauss_out[0] = jnp.where(owned, gid, 0.0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid_x", "grid_y", "max_entries", "max_windows", "interpret"))
+def expand_entries_pallas(
+    proj: ProjectedGaussians,
+    grid_x: int,
+    grid_y: int,
+    max_entries: int,
+    *,
+    max_windows: int = 256,
+    interpret: bool = False,
+):
+    """Expand gaussians to per-entry (tile_id, depth, gauss_id).
+
+    Returns (tile [max_entries] i32 — sentinel grid_x*grid_y for dead
+    entries, depth [max_entries] f32, gauss [max_entries] i32,
+    total [] i32).
+    """
+    n = proj.tiles_touched.shape[0]
+    assert n <= GAUSS_MASK + 1, "gauss id must fit in 20 bits"
+    tiles = proj.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(tiles) - tiles
+    total = jnp.minimum(jnp.sum(tiles), max_entries)
+
+    n_chunks = -(-max_entries // CHUNK)
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
+    g_start = jnp.maximum(
+        jnp.searchsorted(offsets, chunk_starts, side="right").astype(jnp.int32) - 1,
+        0)
+
+    n_pad = max(-(-n // LANE) * LANE, WINDOW) + WINDOW
+    rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
+    rect_h = jnp.maximum(proj.rect_max[:, 1] - proj.rect_min[:, 1], 0)
+    rows = jnp.stack([
+        proj.rect_min[:, 0].astype(jnp.float32),
+        proj.rect_min[:, 1].astype(jnp.float32),
+        jnp.where(tiles > 0, rect_w, 0).astype(jnp.float32),
+        offsets.astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+        lax.stop_gradient(proj.depth),
+        jnp.where(tiles > 0, rect_h, 0).astype(jnp.float32),
+        jnp.full((n,), float(grid_x), jnp.float32),
+    ], axis=0)                                     # [ROW_W, N] field-major
+    pad_cols = jnp.zeros((ROW_W, n_pad - n), jnp.float32)
+    # Padding columns own no entries but terminate the window sweep.
+    pad_cols = pad_cols.at[3, :].set(float(max_entries + 1))
+    rows = jnp.concatenate([rows, pad_cols], axis=1)
+
+    kernel = functools.partial(
+        _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
+        sentinel_tile=grid_x * grid_y)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROW_W, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    tile, depth, gauss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(g_start, rows)
+
+    entry_ids = jnp.arange(max_entries, dtype=jnp.int32)
+    tile = tile.reshape(-1)[:max_entries]
+    tile = jnp.where(entry_ids < total, tile, grid_x * grid_y)
+    return (tile, depth.reshape(-1)[:max_entries],
+            gauss.reshape(-1)[:max_entries], total)
+
+
+def pack_sort_keys(tile, depth, gauss, num_tiles: int):
+    """Pack (tile, depth, gauss) into a sortable (hi, lo) u32 key pair.
+
+    hi = tile(13) | depth-bits[30:12](19);  lo = depth-bits[11:0](12) << 20
+    | gauss(20). Sorting (hi, lo) as a stable two-key sort gives the exact
+    (tile, full-precision depth, submission order) order of the reference's
+    radix sort with only two u32 operands (u64 would silently truncate
+    without the global x64 flag)."""
+    depth_bits = lax.bitcast_convert_type(depth, jnp.uint32) >> 1  # 31 bits
+    tile_u = tile.astype(jnp.uint32)
+    gauss_u = gauss.astype(jnp.uint32)
+    hi = (tile_u << 19) | (depth_bits >> 12)
+    lo = ((depth_bits & jnp.uint32(0xFFF)) << 20) | gauss_u
+    # Dead entries (sentinel tile) sort to the end regardless of payload.
+    dead = tile >= num_tiles
+    hi = jnp.where(dead, jnp.uint32(num_tiles) << 19, hi)
+    lo = jnp.where(dead, jnp.uint32(0), lo)
+    return hi, lo
+
+
+def sorted_binning_from_keys(hi: jnp.ndarray, lo: jnp.ndarray, num_tiles: int):
+    """Sort packed keys; derive (gauss_sorted, tile_start, tile_count)."""
+    hi_sorted, lo_sorted = lax.sort((hi, lo), num_keys=2, is_stable=False)
+    gauss_sorted = (lo_sorted & jnp.uint32(GAUSS_MASK)).astype(jnp.int32)
+    tile_sorted = (hi_sorted >> 19).astype(jnp.int32)
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    return gauss_sorted, tile_start, tile_end - tile_start, tile_sorted

@@ -1,0 +1,340 @@
+"""Pallas TPU tile-blend kernel — the production fast path.
+
+TPU-native replacement for the CUDA per-tile blend loop (reference contract:
+SURVEY.md §2.3(a) stage 3, call site gaussian_renderer/__init__.py:108-119),
+designed for the hardware rather than translated:
+
+- One grid program per 16x16 pixel tile; the tile's depth-sorted entry
+  segment (contiguous columns of the field-major entry arrays, built by
+  ops/pallas_binning.py) is streamed HBM->VMEM in double-buffered async-DMA
+  chunks. Mosaic requires lane-dim DMA offsets to be 128-aligned, so each
+  chunk fetches the 128-aligned superset window and re-aligns on-chip with
+  one dynamic lane roll (entry arrays stay compact in HBM — no 128-lane
+  row padding).
+- Per chunk, the alpha matrix [CHUNK, P] is built on the VPU (conic
+  quadratic + exp), the front-to-back transmittance is an exclusive
+  cumulative product along the chunk axis (log-depth shifted-multiply scan),
+  and the weighted accumulation of RGB plus feature channels is ONE MXU
+  matmul: acc[P, C] += W[CHUNK, P]^T @ F[CHUNK, C].
+- The CUDA early-termination rule (pixel done when T*(1-alpha) < 1e-4)
+  becomes a mask on W plus a whole-tile early exit of the chunk loop once
+  every pixel has saturated — this keeps the average work per tile
+  proportional to visible depth complexity instead of tile depth count.
+- Quick mode (the 450+ FPS merged path, eval_lerf.py:293-356) carries each
+  entry's top-k (weight, codebook index) pairs inside the packed 28-wide
+  entry row (weights exact f32, indices packed two-per-f32-slot) and expands
+  them into the dense channel row of F on-chip, so HBM never carries a
+  dense [N, 192] coefficient field and the whole entry state needs ONE
+  XLA pack gather.
+
+Inclusion semantics match ops/rasterize_tiles.py exactly (same masks, same
+T_EPS rule); that module remains the differentiable reference, and the
+parity test suite pins this kernel against it.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import BLOCK
+
+P = BLOCK * BLOCK            # pixels per tile
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+GEOM_W = 16                  # geometry row: x y ca cb cc op r g b pad..15
+QUICK_W = 32                 # quick row: geometry(9) + w f32*12 + idx-pairs*6 + pad (8-row aligned)
+RGB_COL = 6                  # rgb lives at fields 6:9
+FEAT_COL = GEOM_W            # feature channels start after the geometry prefix
+QUICK_WCOL = 9               # quick weights start here
+PAIR_BASE = 256.0            # two u8 indices per f32 slot: lo + 256 * hi
+LANE = 128                   # lane-dim DMA alignment
+
+
+def _exclusive_cumprod_chunk(one_minus: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Exclusive cumulative product along axis 0 (the depth-sorted chunk
+    axis) via a log-depth shifted-multiply scan. [CHUNK, P] -> [CHUNK, P]."""
+    t = one_minus
+    row = lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    shift = 1
+    while shift < chunk:
+        rolled = pltpu.roll(t, shift=shift, axis=0)
+        t = t * jnp.where(row >= shift, rolled, 1.0)
+        shift *= 2
+    # t is now the inclusive cumprod; shift down one row for exclusive.
+    excl = pltpu.roll(t, shift=1, axis=0)
+    return jnp.where(row >= 1, excl, 1.0)
+
+
+def _blend_kernel(
+    # scalar prefetch
+    start_ref, count_ref, tid_ref,
+    # inputs (HBM, field-major [W, E_pad])
+    geom_hbm, feat_hbm,
+    # outputs (VMEM blocks)
+    acc_out, t_out,
+    # scratch
+    geom_buf, feat_buf, acc, t_carry, t_test, sems,
+    *,
+    chunk: int,
+    grid_x: int,
+    num_tiles: int,
+    mode: str,            # "rgb" | "dense" | "quick"
+    acc_width: int,
+    topk: int,
+):
+    i = pl.program_id(0)
+    start = start_ref[i]
+    count = jnp.where(tid_ref[i] < num_tiles, count_ref[i], 0)
+    n_chunks = pl.cdiv(count, chunk)
+    cw = chunk + LANE  # fetched window (aligned superset of the chunk)
+
+    # Pixel centers of this tile, pixels on the lane axis: [1, P].
+    tid = tid_ref[i]
+    tx = (tid % grid_x).astype(jnp.float32)
+    ty = (tid // grid_x).astype(jnp.float32)
+    pix = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
+    py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+
+    acc[...] = jnp.zeros_like(acc)
+    t_carry[...] = jnp.ones_like(t_carry)   # product over INCLUDED (final T)
+    t_test[...] = jnp.ones_like(t_test)     # product over all VALID (include test)
+
+    def aligned(c):
+        al = ((start + c * chunk) // LANE) * LANE
+        return pl.multiple_of(al, LANE)
+
+    def geom_dma(slot, c):
+        return pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(aligned(c), cw)],
+            geom_buf.at[slot], sems.at[slot, 0])
+
+    def feat_dma(slot, c):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(aligned(c), cw)],
+            feat_buf.at[slot], sems.at[slot, 1])
+
+    has_feat_dma = mode == "dense"
+
+    @pl.when(n_chunks > 0)
+    def _():
+        geom_dma(0, 0).start()
+        if has_feat_dma:
+            feat_dma(0, 0).start()
+
+    def load_chunk(buf_ref, slot, c):
+        """Wait on the slot, roll the misalignment away, transpose to
+        entry-major [chunk, W]."""
+        d = (start + c * chunk) - aligned(c)       # in [0, LANE)
+        buf = buf_ref[slot]                        # [W, cw]
+        rolled = pltpu.roll(buf, shift=cw - d, axis=1)
+        ent = jnp.transpose(rolled, (1, 0))        # [cw, W]
+        return ent[0:chunk, :]
+
+    def body(c):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            geom_dma((c + 1) % 2, c + 1).start()
+            if has_feat_dma:
+                feat_dma((c + 1) % 2, c + 1).start()
+
+        geom_dma(slot, c).wait()
+        g = load_chunk(geom_buf, slot, c)       # [CHUNK, geom width]
+        x = g[:, 0:1]
+        y = g[:, 1:2]
+        ca = g[:, 2:3]
+        cb = g[:, 3:4]
+        cc = g[:, 4:5]
+        op = g[:, 5:6]
+
+        dx = x - px                             # [CHUNK, P]
+        dy = y - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        slot_ids = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
+        in_range = slot_ids < count
+        valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(valid, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        # The include test and the blend weights use the transmittance over
+        # ALL prior valid alphas (matching the XLA reference exactly); the
+        # final-T output multiplies only the included ones (CUDA semantics —
+        # the first epsilon failure permanently terminates a pixel, so the
+        # two products agree on every included entry).
+        t_excl = t_test[...] * _exclusive_cumprod_chunk(one_minus, chunk)
+        include = valid & (t_excl * one_minus >= T_EPS)
+        w = jnp.where(include, alpha * t_excl, 0.0)   # [CHUNK, P]
+
+        # Feature matrix F [CHUNK, acc_width]: the geometry prefix carries
+        # rgb at cols 6:9; feature channels start at FEAT_COL.
+        if mode == "rgb":
+            f_mat = g
+        elif mode == "dense":
+            feat_dma(slot, c).wait()
+            fb = load_chunk(feat_buf, slot, c)  # [CHUNK, feat rows]
+            f_mat = jnp.concatenate(
+                [g, fb[:, : acc_width - FEAT_COL]], axis=1)
+        else:  # quick: expand packed (weights, idx pairs) to dense channels
+            ch = lax.broadcasted_iota(
+                jnp.int32, (chunk, acc_width - FEAT_COL), 1).astype(jnp.float32)
+            dense = jnp.zeros((chunk, acc_width - FEAT_COL), jnp.float32)
+            for j in range(topk):
+                wj = g[:, QUICK_WCOL + j:QUICK_WCOL + j + 1]
+                pair = g[:, QUICK_WCOL + topk + j // 2:
+                         QUICK_WCOL + topk + j // 2 + 1]
+                hi4 = jnp.floor(pair * (1.0 / PAIR_BASE))
+                ij = pair - hi4 * PAIR_BASE if j % 2 == 0 else hi4
+                dense = dense + wj * (ij == ch).astype(jnp.float32)
+            f_mat = jnp.concatenate([g[:, :FEAT_COL], dense], axis=1)
+
+        # HIGHEST precision (f32 via bf16 passes) for parity with the XLA
+        # reference blend; the default bf16 MXU pass loses ~1e-3.
+        acc[...] += lax.dot_general(
+            w, f_mat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)          # [P, acc_width]
+        # reduce_prod is unsupported in Pallas TPU; use exp-sum-log1p,
+        # matching the XLA reference's log1p(-alpha) accumulation exactly
+        # (alpha <= ALPHA_MAX = 0.99 keeps the log finite).
+        log_v = jnp.log1p(-alpha)                     # 0 where masked (alpha=0)
+        t_carry[...] *= jnp.exp(jnp.sum(jnp.where(include, log_v, 0.0),
+                                        axis=0, keepdims=True))
+        t_test[...] *= jnp.exp(jnp.sum(log_v, axis=0, keepdims=True))
+
+    def cond(c):
+        return (c < n_chunks) & (jnp.max(t_test[...]) >= T_EPS)
+
+    c_exit = lax.while_loop(cond, lambda c: (body(c), c + 1)[1], 0)
+
+    # Drain: on early exit, body(c_exit - 1) already started the DMA for
+    # chunk c_exit; an orphan in-flight DMA would corrupt the next tile's
+    # buffers and unbalance the semaphores.
+    @pl.when(c_exit < n_chunks)
+    def _():
+        geom_dma(c_exit % 2, c_exit).wait()
+        if has_feat_dma:
+            feat_dma(c_exit % 2, c_exit).wait()
+
+    acc_out[0] = acc[...]
+    t_out[0] = t_carry[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
+                     "chunk", "interpret"),
+)
+def blend_tiles_pallas(
+    entry_geom: jnp.ndarray,    # [GEOM_W|QUICK_W, E_pad] f32 field-major
+    entry_feat: jnp.ndarray,    # [FW, E_pad] f32 (dense mode only; else [1, E_pad])
+    tile_start: jnp.ndarray,    # [T_local] int32
+    tile_count: jnp.ndarray,    # [T_local] int32
+    tile_ids: jnp.ndarray,      # [T_local] int32 (>= grid_x*grid_y means dummy)
+    bg: jnp.ndarray,            # [3]
+    *,
+    grid_x: int,
+    grid_y: int,
+    mode: str,                  # "rgb" | "dense" | "quick"
+    out_channels: int,          # D (0 for rgb mode)
+    topk: int = 12,             # quick mode: sparse pairs per entry
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
+
+    Entry arrays are field-major [W, E_pad] with E_pad large enough that any
+    [128-aligned start, chunk + 128) window stays in bounds (pad_entries).
+    """
+    n_local = tile_start.shape[0]
+    num_tiles = grid_x * grid_y
+    acc_width = FEAT_COL + max(out_channels, 1) if mode != "rgb" else GEOM_W
+    geom_w = entry_geom.shape[0]
+    feat_w = entry_feat.shape[0]
+    cw = chunk + LANE
+
+    kernel = functools.partial(
+        _blend_kernel,
+        chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
+        acc_width=acc_width, topk=topk,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_local,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, acc_width), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, geom_w, cw), jnp.float32),
+            pltpu.VMEM((2, feat_w, cw), jnp.float32),
+            pltpu.VMEM((P, acc_width), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    acc_t, t_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_local, P, acc_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, 1, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_count, tile_ids, entry_geom, entry_feat)
+
+    final_t = t_t[:, 0, :]                                   # [T, P]
+    rgb = acc_t[:, :, RGB_COL:RGB_COL + 3] + final_t[..., None] * bg[None, None, :]
+    feat = acc_t[:, :, FEAT_COL:FEAT_COL + out_channels] if mode != "rgb" else None
+    return rgb, feat, final_t
+
+
+def pack_gaussian_rows(xy, conic, opacities, colors):
+    """Per-gaussian packed geometry rows [N, GEOM_W] (pre-gather layout)."""
+    n = xy.shape[0]
+    rgb = colors if colors is not None else jnp.zeros((n, 3), xy.dtype)
+    return jnp.concatenate(
+        [xy, conic, opacities[:, None], rgb,
+         jnp.zeros((n, GEOM_W - 9), xy.dtype)], axis=1)
+
+
+def pack_quick_rows(xy, conic, opacities, colors, quick_weights, quick_indices):
+    """Per-gaussian packed quick rows [N, QUICK_W]: geometry(9) + topk f32
+    weights + topk/2 index pairs (two u8-range channel indices per slot,
+    exact in f32)."""
+    n, s = quick_weights.shape
+    assert s % 2 == 0, "quick topk must be even to pack index pairs"
+    rgb = colors if colors is not None else jnp.zeros((n, 3), xy.dtype)
+    qi = quick_indices.astype(jnp.float32)
+    pairs = qi[:, 0::2] + PAIR_BASE * qi[:, 1::2]      # [N, s//2]
+    used = 9 + s + s // 2
+    assert used <= QUICK_W, (used, QUICK_W)
+    return jnp.concatenate(
+        [xy, conic, opacities[:, None], rgb, quick_weights, pairs,
+         jnp.zeros((n, QUICK_W - used), xy.dtype)], axis=1)
+
+
+def to_field_major(entries: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """[E, W] entry rows -> field-major [W, E_pad] padded so every
+    128-aligned [al, chunk + 128) lane window stays in bounds."""
+    e = entries.shape[0]
+    target = -(-e // LANE) * LANE + chunk + LANE
+    return jnp.pad(entries, ((0, target - e), (0, 0))).T

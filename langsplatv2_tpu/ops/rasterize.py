@@ -31,6 +31,14 @@ from . import binning, projection, rasterize_tiles
 from .projection import BLOCK
 
 
+def _pallas_supported() -> bool:
+    """True when the default backend compiles Pallas TPU kernels natively."""
+    import jax as _jax
+    return "tpu" in _jax.default_backend().lower() or any(
+        "tpu" in d.platform.lower() or "TPU" in str(d)
+        for d in _jax.devices()[:1])
+
+
 class RasterizeSettings(NamedTuple):
     """Static rasterization configuration (jit-static, hashable)."""
 
@@ -50,6 +58,10 @@ class RasterizeSettings(NamedTuple):
     tile_batch: int = 16
     prefiltered: bool = False
     debug: bool = False
+    # Implementation: "xla" (differentiable reference pipeline),
+    # "pallas" (streaming TPU kernels, forward/inference),
+    # "auto" (pallas for quick-mode inference, xla otherwise).
+    impl: str = "auto"
 
     @property
     def grid_x(self) -> int:
@@ -90,6 +102,16 @@ def rasterize(
 ) -> RasterizeOutput:
     H, W = settings.image_height, settings.image_width
 
+    use_pallas = settings.impl == "pallas" or (
+        settings.impl == "auto" and quick_weights is not None)
+    if use_pallas:
+        return _rasterize_pallas(
+            settings, means3d, opacities, viewmatrix, projmatrix, campos, bg,
+            scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+            shs=shs, colors_precomp=colors_precomp, features=features,
+            quick_weights=quick_weights, quick_indices=quick_indices,
+            quick_channels=quick_channels)
+
     proj = projection.preprocess(
         means3d, scales, rotations, cov3d_precomp, shs, colors_precomp,
         viewmatrix, projmatrix, campos,
@@ -109,7 +131,8 @@ def rasterize(
         # one_hot keeps this an einsum (MXU) instead of a scatter.
         onehot = jax.nn.one_hot(quick_indices.astype(jnp.int32), quick_channels,
                                 dtype=quick_weights.dtype)        # [N, S, C]
-        blend_features = jnp.einsum("ns,nsc->nc", quick_weights, onehot)
+        blend_features = jnp.einsum("ns,nsc->nc", quick_weights, onehot,
+                                    precision=jax.lax.Precision.HIGHEST)
     else:
         blend_features = features
 
@@ -139,4 +162,78 @@ def rasterize(
         final_transmittance=final_t,
         max_tile_count=binned.tile_count.max(),
         total_entries=binned.total_entries,
+    )
+
+
+def _rasterize_pallas(
+    settings: RasterizeSettings,
+    means3d, opacities, viewmatrix, projmatrix, campos, bg,
+    scales=None, rotations=None, cov3d_precomp=None,
+    shs=None, colors_precomp=None, features=None,
+    quick_weights=None, quick_indices=None, quick_channels: int = 192,
+) -> RasterizeOutput:
+    """Streaming-kernel forward pipeline (inference fast path).
+
+    preprocess (XLA) -> pallas entry expansion -> packed two-word u32 key
+    sort -> ONE entry pack gather -> pallas tile blend (early-exit, MXU
+    accumulate). Exactly matches the XLA pipeline's outputs (the pack is
+    bit-exact: f32 geometry + f32 weights + integer index pairs).
+    """
+    from . import pallas_binning, pallas_blend
+
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y, num_tiles = settings.grid_x, settings.grid_y, settings.grid_x * settings.grid_y
+    interp = not _pallas_supported()
+    chunk = 256
+
+    proj = projection.preprocess(
+        means3d, scales, rotations, cov3d_precomp, shs, colors_precomp,
+        viewmatrix, projmatrix, campos,
+        settings.tanfovx, settings.tanfovy, W, H,
+        settings.sh_degree, settings.scale_modifier,
+    )
+
+    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+        proj, grid_x, grid_y, settings.max_entries, interpret=interp)
+    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    g_sorted, tile_start, tile_count, _ = pallas_binning.sorted_binning_from_keys(
+        hi, lo, num_tiles)
+
+    if quick_weights is not None:
+        mode, out_channels = "quick", quick_channels
+        rows = pallas_blend.pack_quick_rows(
+            proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+            quick_weights, quick_indices)
+        topk = quick_weights.shape[1]
+    else:
+        rows = pallas_blend.pack_gaussian_rows(
+            proj.xy, proj.conic, opacities[:, 0], proj.rgb)
+        topk = 12
+        if features is not None:
+            mode, out_channels = "dense", features.shape[1]
+        else:
+            mode, out_channels = "rgb", 0
+
+    entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+    if mode == "dense":
+        entry_feat = pallas_blend.to_field_major(features[g_sorted], chunk)
+    else:
+        entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+        entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
+        grid_x=grid_x, grid_y=grid_y, mode=mode, out_channels=out_channels,
+        topk=topk, chunk=chunk, interpret=interp)
+
+    rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+    feat = (rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+            if feat_t is not None else None)
+    final_t = rasterize_tiles.tiles_to_image(t_t[..., None], grid_x, grid_y, H, W)[0]
+
+    return RasterizeOutput(
+        rgb=rgb, feature_map=feat, radii=proj.radius,
+        final_transmittance=final_t,
+        max_tile_count=tile_count.max(),
+        total_entries=total,
     )

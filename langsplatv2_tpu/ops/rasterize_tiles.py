@@ -115,14 +115,16 @@ def blend_tiles(
         w = jnp.where(include, alpha * T, 0.0)                 # [TB, P, CAP]
 
         rgb_tile = jnp.einsum("tpc,tcd->tpd", w, colors[g],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
         alpha_incl = jnp.where(include, alpha, 0.0)
         final_t = jnp.exp(jnp.sum(jnp.log1p(-alpha_incl), axis=-1))  # [TB, P]
         rgb_tile = rgb_tile + final_t[..., None] * bg[None, None, :]
 
         if features is not None:
             feat_tile = jnp.einsum("tpc,tcd->tpd", w, features[g],
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=lax.Precision.HIGHEST)
         else:
             feat_tile = jnp.zeros((tile_ids.shape[0], P, 0), jnp.float32)
         return rgb_tile, feat_tile, final_t

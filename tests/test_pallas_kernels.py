@@ -1,0 +1,183 @@
+"""Parity tests for the Pallas streaming kernels (interpret mode on CPU).
+
+The Pallas fast path (ops/pallas_binning.py + ops/pallas_blend.py) must
+reproduce the XLA reference pipeline exactly: same binning (entry multiset,
+per-tile depth order, stable ties) and same blend semantics (alpha masks,
+T_EPS inclusion, background composition). Compiled-mode parity against the
+same oracle is exercised on hardware by bench.py and was validated on a
+real v5e (max |rgb| diff 6.5e-5, pure fma-ordering noise at the alpha
+threshold).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from langsplatv2_tpu.ops import binning, projection, rasterize_tiles
+from langsplatv2_tpu.ops import pallas_binning, pallas_blend
+from langsplatv2_tpu.ops.rasterize import RasterizeSettings, rasterize
+from langsplatv2_tpu.utils.camera_math import (
+    get_world_to_view, get_projection_matrix)
+
+
+def _scene(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    means = np.concatenate(
+        [rng.uniform(-2, 2, (n, 2)), rng.uniform(1.0, 8.0, (n, 1))], 1
+    ).astype(np.float32)
+    scales = rng.uniform(0.02, 0.3, (n, 3)).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    ops = jnp.asarray(rng.uniform(0.1, 0.95, (n, 1)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    fovy = math.radians(60)
+    fovx = 2 * math.atan(math.tan(fovy / 2) * w / h)
+    w2c = get_world_to_view(np.eye(3), np.zeros(3))
+    view = jnp.asarray(w2c.T, jnp.float32)
+    pm = jnp.asarray(
+        w2c.T @ get_projection_matrix(0.01, 100, fovx, fovy).T, jnp.float32)
+    proj = projection.preprocess(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots), None,
+        None, cols, view, pm, jnp.zeros(3, jnp.float32),
+        math.tan(fovx / 2), math.tan(fovy / 2), w, h, 0, 1.0)
+    return means, scales, rots, ops, cols, view, pm, proj, fovx, fovy
+
+
+class TestPallasExpansion:
+    def test_matches_xla_binning(self):
+        h, w = 128, 160
+        *_, proj, fovx, fovy = _scene(3000, h, w, seed=1)
+        gx, gy = -(-w // 16), -(-h // 16)
+        num_tiles = gx * gy
+        me = 2 ** 15
+
+        binned = binning.bin_gaussians(proj, gx, gy, me)
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            proj, gx, gy, me, interpret=True)
+        assert int(total) == int(binned.total_entries)
+
+        hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        g_sorted, t_start, t_count, _ = pallas_binning.sorted_binning_from_keys(
+            hi, lo, num_tiles)
+        np.testing.assert_array_equal(np.asarray(t_start),
+                                      np.asarray(binned.tile_start))
+        np.testing.assert_array_equal(np.asarray(t_count),
+                                      np.asarray(binned.tile_count))
+        tot = int(total)
+        np.testing.assert_array_equal(np.asarray(g_sorted[:tot]),
+                                      np.asarray(binned.gauss_id[:tot]))
+
+    def test_overflow_clamps_to_budget(self):
+        h, w = 64, 64
+        *_, proj, fovx, fovy = _scene(2000, h, w, seed=2)
+        gx, gy = 4, 4
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            proj, gx, gy, 512, interpret=True)
+        assert int(total) <= 512
+        assert tile.shape == (512,)
+
+
+class TestPallasBlend:
+    @pytest.fixture()
+    def setup(self):
+        h, w = 64, 96
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            500, h, w)
+        gx, gy = -(-w // 16), -(-h // 16)
+        binned = binning.bin_gaussians(proj, gx, gy, 2 ** 13)
+        bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+        tid = jnp.arange(gx * gy, dtype=jnp.int32)
+        return proj, ops, binned, gx, gy, bg, tid
+
+    def test_rgb_mode(self, setup):
+        proj, ops, binned, gx, gy, bg, tid = setup
+        rgb_ref, _, t_ref = rasterize_tiles.blend_tiles(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb, None, binned,
+            gx, gy, bg, 512, 4)
+        rows = pallas_blend.pack_gaussian_rows(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb)
+        geom = pallas_blend.to_field_major(rows[binned.gauss_id], 256)
+        dummy = jnp.zeros((1, geom.shape[1]), jnp.float32)
+        rgb_p, _, t_p = pallas_blend.blend_tiles_pallas(
+            geom, dummy, binned.tile_start, binned.tile_count, tid, bg,
+            grid_x=gx, grid_y=gy, mode="rgb", out_channels=0, chunk=256,
+            interpret=True)
+        np.testing.assert_allclose(rgb_p, rgb_ref, atol=2e-5)
+        np.testing.assert_allclose(t_p, t_ref, atol=2e-5)
+
+    def test_quick_mode_packed_pairs(self, setup):
+        proj, ops, binned, gx, gy, bg, tid = setup
+        n = proj.xy.shape[0]
+        rng = np.random.default_rng(3)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        onehot = jax.nn.one_hot(qi.astype(np.int32), L * K, dtype=jnp.float32)
+        dense = jnp.einsum("ns,nsc->nc", jnp.asarray(qw), onehot)
+        _, feat_ref, _ = rasterize_tiles.blend_tiles(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb, dense, binned,
+            gx, gy, bg, 512, 4)
+
+        qrows = pallas_blend.pack_quick_rows(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb,
+            jnp.asarray(qw), jnp.asarray(qi))
+        qgeom = pallas_blend.to_field_major(qrows[binned.gauss_id], 256)
+        dummy = jnp.zeros((1, qgeom.shape[1]), jnp.float32)
+        rgb_q, feat_q, _ = pallas_blend.blend_tiles_pallas(
+            qgeom, dummy, binned.tile_start, binned.tile_count, tid, bg,
+            grid_x=gx, grid_y=gy, mode="quick", out_channels=L * K,
+            topk=L * TOPK, chunk=256, interpret=True)
+        np.testing.assert_allclose(feat_q, feat_ref, atol=2e-5)
+
+    def test_dense_mode(self, setup):
+        proj, ops, binned, gx, gy, bg, tid = setup
+        n = proj.xy.shape[0]
+        feats = jnp.asarray(
+            np.random.default_rng(4).uniform(0, 1, (n, 64)).astype(np.float32))
+        _, feat_ref, _ = rasterize_tiles.blend_tiles(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb, feats, binned,
+            gx, gy, bg, 512, 4)
+        rows = pallas_blend.pack_gaussian_rows(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb)
+        geom = pallas_blend.to_field_major(rows[binned.gauss_id], 256)
+        ef = pallas_blend.to_field_major(feats[binned.gauss_id], 256)
+        _, feat_d, _ = pallas_blend.blend_tiles_pallas(
+            geom, ef, binned.tile_start, binned.tile_count, tid, bg,
+            grid_x=gx, grid_y=gy, mode="dense", out_channels=64, chunk=256,
+            interpret=True)
+        np.testing.assert_allclose(feat_d, feat_ref, atol=2e-5)
+
+
+class TestFastPathEndToEnd:
+    def test_quick_rasterize_matches_xla(self):
+        n, h, w = 800, 80, 112
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=2)
+        rng = np.random.default_rng(2)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        sx = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="xla")
+        ox = rasterize(sx, jnp.asarray(means), ops, view, pm,
+                       jnp.zeros(3, jnp.float32), bg, **common)
+        op_ = rasterize(sx._replace(impl="pallas"), jnp.asarray(means), ops,
+                        view, pm, jnp.zeros(3, jnp.float32), bg, **common)
+        np.testing.assert_allclose(op_.rgb, ox.rgb, atol=3e-5)
+        np.testing.assert_allclose(op_.feature_map, ox.feature_map, atol=3e-5)
+        np.testing.assert_allclose(op_.final_transmittance,
+                                   ox.final_transmittance, atol=3e-5)
