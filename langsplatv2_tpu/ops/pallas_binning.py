@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ProjectedGaussians
 
-CHUNK = 512          # entries per grid program
+CHUNK = 2048         # entries per grid program (amortizes ~10us/program overhead)
 WINDOW = 640         # gaussian window columns per sub-step (128-aligned)
 ROW_W = 8            # packed row: x0 y0 rect_w offset gid depth rect_h grid_x
 LANE = 128

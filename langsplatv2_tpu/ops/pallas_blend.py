@@ -57,19 +57,19 @@ PAIR_BASE = 256.0            # two u8 indices per f32 slot: lo + 256 * hi
 LANE = 128                   # lane-dim DMA alignment
 
 
-def _exclusive_cumprod_chunk(one_minus: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """Exclusive cumulative product along axis 0 (the depth-sorted chunk
-    axis) via a log-depth shifted-multiply scan. [CHUNK, P] -> [CHUNK, P]."""
+def _exclusive_cumprod_lanes(one_minus: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Exclusive cumulative product along axis 1 (the depth-sorted entry
+    lane axis) via a log-depth shifted-multiply scan. [P, cw] -> [P, cw]."""
     t = one_minus
-    row = lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    lane = lax.broadcasted_iota(jnp.int32, t.shape, 1)
     shift = 1
-    while shift < chunk:
-        rolled = pltpu.roll(t, shift=shift, axis=0)
-        t = t * jnp.where(row >= shift, rolled, 1.0)
+    while shift < width:
+        rolled = pltpu.roll(t, shift=shift, axis=1)
+        t = t * jnp.where(lane >= shift, rolled, 1.0)
         shift *= 2
-    # t is now the inclusive cumprod; shift down one row for exclusive.
-    excl = pltpu.roll(t, shift=1, axis=0)
-    return jnp.where(row >= 1, excl, 1.0)
+    # t is now the inclusive cumprod; shift down one lane for exclusive.
+    excl = pltpu.roll(t, shift=1, axis=1)
+    return jnp.where(lane >= 1, excl, 1.0)
 
 
 def _blend_kernel(
@@ -88,151 +88,177 @@ def _blend_kernel(
     mode: str,            # "rgb" | "dense" | "quick"
     acc_width: int,
     topk: int,
+    tile_batch: int,
 ):
     i = pl.program_id(0)
-    start = start_ref[i]
-    count = jnp.where(tid_ref[i] < num_tiles, count_ref[i], 0)
-    n_chunks = pl.cdiv(count, chunk)
     cw = chunk + LANE  # fetched window (aligned superset of the chunk)
+    has_feat_dma = mode == "dense"
 
-    # Pixel centers of this tile, pixels on the lane axis: [1, P].
-    tid = tid_ref[i]
-    tx = (tid % grid_x).astype(jnp.float32)
-    ty = (tid // grid_x).astype(jnp.float32)
-    pix = lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
-    py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+    def tile_info(k):
+        idx = i * tile_batch + k
+        tid = tid_ref[idx]
+        start = start_ref[idx]
+        count = jnp.where(tid < num_tiles, count_ref[idx], 0)
+        return start, count, tid
 
-    acc[...] = jnp.zeros_like(acc)
-    t_carry[...] = jnp.ones_like(t_carry)   # product over INCLUDED (final T)
-    t_test[...] = jnp.ones_like(t_test)     # product over all VALID (include test)
-
-    def aligned(c):
+    def aligned(start, c):
         al = ((start + c * chunk) // LANE) * LANE
         return pl.multiple_of(al, LANE)
 
-    def geom_dma(slot, c):
+    def geom_dma(slot, start, c):
         return pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(aligned(c), cw)],
+            geom_hbm.at[:, pl.ds(aligned(start, c), cw)],
             geom_buf.at[slot], sems.at[slot, 0])
 
-    def feat_dma(slot, c):
+    def feat_dma(slot, start, c):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(aligned(c), cw)],
+            feat_hbm.at[:, pl.ds(aligned(start, c), cw)],
             feat_buf.at[slot], sems.at[slot, 1])
 
-    has_feat_dma = mode == "dense"
+    # Program prologue: fetch the first tile's first chunk. Each later
+    # tile's chunk 0 is prefetched while its predecessor still computes;
+    # slot pairs alternate per tile so the pipelines never collide.
+    start0, count0, _ = tile_info(0)
 
-    @pl.when(n_chunks > 0)
+    @pl.when(count0 > 0)
     def _():
-        geom_dma(0, 0).start()
+        geom_dma(0, start0, 0).start()
         if has_feat_dma:
-            feat_dma(0, 0).start()
+            feat_dma(0, start0, 0).start()
 
-    def load_chunk(buf_ref, slot, c):
-        """Wait on the slot, roll the misalignment away, transpose to
-        entry-major [chunk, W]."""
-        d = (start + c * chunk) - aligned(c)       # in [0, LANE)
-        buf = buf_ref[slot]                        # [W, cw]
-        rolled = pltpu.roll(buf, shift=cw - d, axis=1)
-        ent = jnp.transpose(rolled, (1, 0))        # [cw, W]
-        return ent[0:chunk, :]
+    def process_tile(k, carry):
+        start, count, tid = tile_info(k)
+        n_chunks = pl.cdiv(count, chunk)
+        base = (k % 2) * 2
 
-    def body(c):
-        slot = c % 2
-
-        @pl.when(c + 1 < n_chunks)
+        # Prefetch the NEXT tile's first chunk into the other slot pair
+        # before blocking on our own data.
+        @pl.when(k + 1 < tile_batch)
         def _():
-            geom_dma((c + 1) % 2, c + 1).start()
+            nstart, ncount, _ = tile_info(k + 1)
+
+            @pl.when(ncount > 0)
+            def _():
+                nbase = ((k + 1) % 2) * 2
+                geom_dma(nbase, nstart, 0).start()
+                if has_feat_dma:
+                    feat_dma(nbase, nstart, 0).start()
+
+        # Pixel centers of this tile, pixels on the sublane axis: [P, 1].
+        tx = (tid % grid_x).astype(jnp.float32)
+        ty = (tid // grid_x).astype(jnp.float32)
+        pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
+        py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+
+        acc[...] = jnp.zeros_like(acc)
+        t_carry[...] = jnp.ones_like(t_carry)  # product over INCLUDED
+        t_test[...] = jnp.ones_like(t_test)    # product over all VALID
+
+        def body(c):
+            slot = base + c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                geom_dma(base + (c + 1) % 2, start, c + 1).start()
+                if has_feat_dma:
+                    feat_dma(base + (c + 1) % 2, start, c + 1).start()
+
+            geom_dma(slot, start, c).wait()
+            # Field-major window [W, cw]; entries live on lanes
+            # [d, d + chunk) — alignment is handled by masks, not data
+            # movement (no roll, no transpose).
+            g = geom_buf[slot]
+            d = (start + c * chunk) - aligned(start, c)   # in [0, LANE)
+            x = g[0:1, :]
+            y = g[1:2, :]
+            ca = g[2:3, :]
+            cb = g[3:4, :]
+            cc = g[4:5, :]
+            op = g[5:6, :]
+
+            dx = px - x                             # [P, cw]
+            dy = py - y
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            lane = lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+            remaining = jnp.minimum(count - c * chunk, chunk)
+            in_range = (lane >= d) & (lane < d + remaining)
+            valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            alpha = jnp.where(valid, alpha, 0.0)
+
+            one_minus = 1.0 - alpha
+            # The include test and the blend weights use the transmittance
+            # over ALL prior valid alphas (matching the XLA reference
+            # exactly); the final-T output multiplies only the included
+            # ones (CUDA semantics — the first epsilon failure permanently
+            # terminates a pixel, so both agree on every included entry).
+            t_excl = t_test[...] * _exclusive_cumprod_lanes(one_minus, cw)
+            include = valid & (t_excl * one_minus >= T_EPS)
+            w = jnp.where(include, alpha * t_excl, 0.0)   # [P, cw]
+
+            # Feature rows F^T [acc_width, cw]: the geometry rows carry rgb
+            # at rows 6:9; channels start at FEAT_COL. Contraction happens
+            # on the lane (entry) axis for both operands — no transposes.
+            if mode == "rgb":
+                f_rows = g
+            elif mode == "dense":
+                feat_dma(slot, start, c).wait()
+                fb = feat_buf[slot]
+                f_rows = jnp.concatenate(
+                    [g, fb[: acc_width - FEAT_COL, :]], axis=0)
+            else:  # quick: expand packed (weights, idx pairs) on-chip
+                ch = lax.broadcasted_iota(
+                    jnp.int32, (acc_width - FEAT_COL, 1), 0
+                ).astype(jnp.float32)
+                dense = jnp.zeros((acc_width - FEAT_COL, cw), jnp.float32)
+                for j in range(topk):
+                    wj = g[QUICK_WCOL + j:QUICK_WCOL + j + 1, :]
+                    pair = g[QUICK_WCOL + topk + j // 2:
+                             QUICK_WCOL + topk + j // 2 + 1, :]
+                    hi4 = jnp.floor(pair * (1.0 / PAIR_BASE))
+                    ij = pair - hi4 * PAIR_BASE if j % 2 == 0 else hi4
+                    dense = dense + wj * (ij == ch).astype(jnp.float32)
+                f_rows = jnp.concatenate([g[:FEAT_COL, :], dense], axis=0)
+
+            # HIGHEST precision (f32 via bf16 passes) for parity with the
+            # XLA reference blend; the default bf16 pass loses ~1e-3.
+            acc[...] += lax.dot_general(
+                w, f_rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)          # [P, acc_width]
+            # reduce_prod is unsupported in Pallas TPU; exp-sum-log1p
+            # matches the XLA reference's log1p(-alpha) accumulation.
+            log_v = jnp.log1p(-alpha)
+            t_carry[...] *= jnp.exp(jnp.sum(jnp.where(include, log_v, 0.0),
+                                            axis=1, keepdims=True))
+            t_test[...] *= jnp.exp(jnp.sum(log_v, axis=1, keepdims=True))
+
+        def cond(c):
+            return (c < n_chunks) & (jnp.max(t_test[...]) >= T_EPS)
+
+        c_exit = lax.while_loop(cond, lambda c: (body(c), c + 1)[1], 0)
+
+        # Drain: on early exit, body(c_exit - 1) already started the DMA
+        # for chunk c_exit; an orphan in-flight DMA would corrupt a later
+        # tile's buffers and unbalance the semaphores.
+        @pl.when(c_exit < n_chunks)
+        def _():
+            geom_dma(base + c_exit % 2, start, c_exit).wait()
             if has_feat_dma:
-                feat_dma((c + 1) % 2, c + 1).start()
+                feat_dma(base + c_exit % 2, start, c_exit).wait()
 
-        geom_dma(slot, c).wait()
-        g = load_chunk(geom_buf, slot, c)       # [CHUNK, geom width]
-        x = g[:, 0:1]
-        y = g[:, 1:2]
-        ca = g[:, 2:3]
-        cb = g[:, 3:4]
-        cc = g[:, 4:5]
-        op = g[:, 5:6]
+        acc_out[k] = acc[...]
+        t_out[k] = t_carry[...]
+        return carry
 
-        dx = x - px                             # [CHUNK, P]
-        dy = y - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        slot_ids = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + c * chunk
-        in_range = slot_ids < count
-        valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
-        alpha = jnp.where(valid, alpha, 0.0)
-
-        one_minus = 1.0 - alpha
-        # The include test and the blend weights use the transmittance over
-        # ALL prior valid alphas (matching the XLA reference exactly); the
-        # final-T output multiplies only the included ones (CUDA semantics —
-        # the first epsilon failure permanently terminates a pixel, so the
-        # two products agree on every included entry).
-        t_excl = t_test[...] * _exclusive_cumprod_chunk(one_minus, chunk)
-        include = valid & (t_excl * one_minus >= T_EPS)
-        w = jnp.where(include, alpha * t_excl, 0.0)   # [CHUNK, P]
-
-        # Feature matrix F [CHUNK, acc_width]: the geometry prefix carries
-        # rgb at cols 6:9; feature channels start at FEAT_COL.
-        if mode == "rgb":
-            f_mat = g
-        elif mode == "dense":
-            feat_dma(slot, c).wait()
-            fb = load_chunk(feat_buf, slot, c)  # [CHUNK, feat rows]
-            f_mat = jnp.concatenate(
-                [g, fb[:, : acc_width - FEAT_COL]], axis=1)
-        else:  # quick: expand packed (weights, idx pairs) to dense channels
-            ch = lax.broadcasted_iota(
-                jnp.int32, (chunk, acc_width - FEAT_COL), 1).astype(jnp.float32)
-            dense = jnp.zeros((chunk, acc_width - FEAT_COL), jnp.float32)
-            for j in range(topk):
-                wj = g[:, QUICK_WCOL + j:QUICK_WCOL + j + 1]
-                pair = g[:, QUICK_WCOL + topk + j // 2:
-                         QUICK_WCOL + topk + j // 2 + 1]
-                hi4 = jnp.floor(pair * (1.0 / PAIR_BASE))
-                ij = pair - hi4 * PAIR_BASE if j % 2 == 0 else hi4
-                dense = dense + wj * (ij == ch).astype(jnp.float32)
-            f_mat = jnp.concatenate([g[:, :FEAT_COL], dense], axis=1)
-
-        # HIGHEST precision (f32 via bf16 passes) for parity with the XLA
-        # reference blend; the default bf16 MXU pass loses ~1e-3.
-        acc[...] += lax.dot_general(
-            w, f_mat, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)          # [P, acc_width]
-        # reduce_prod is unsupported in Pallas TPU; use exp-sum-log1p,
-        # matching the XLA reference's log1p(-alpha) accumulation exactly
-        # (alpha <= ALPHA_MAX = 0.99 keeps the log finite).
-        log_v = jnp.log1p(-alpha)                     # 0 where masked (alpha=0)
-        t_carry[...] *= jnp.exp(jnp.sum(jnp.where(include, log_v, 0.0),
-                                        axis=0, keepdims=True))
-        t_test[...] *= jnp.exp(jnp.sum(log_v, axis=0, keepdims=True))
-
-    def cond(c):
-        return (c < n_chunks) & (jnp.max(t_test[...]) >= T_EPS)
-
-    c_exit = lax.while_loop(cond, lambda c: (body(c), c + 1)[1], 0)
-
-    # Drain: on early exit, body(c_exit - 1) already started the DMA for
-    # chunk c_exit; an orphan in-flight DMA would corrupt the next tile's
-    # buffers and unbalance the semaphores.
-    @pl.when(c_exit < n_chunks)
-    def _():
-        geom_dma(c_exit % 2, c_exit).wait()
-        if has_feat_dma:
-            feat_dma(c_exit % 2, c_exit).wait()
-
-    acc_out[0] = acc[...]
-    t_out[0] = t_carry[...]
+    lax.fori_loop(0, tile_batch, process_tile, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
-                     "chunk", "interpret"),
+                     "chunk", "tile_batch", "interpret"),
 )
 def blend_tiles_pallas(
     entry_geom: jnp.ndarray,    # [GEOM_W|QUICK_W, E_pad] f32 field-major
@@ -248,6 +274,7 @@ def blend_tiles_pallas(
     out_channels: int,          # D (0 for rgb mode)
     topk: int = 12,             # quick mode: sparse pairs per entry
     chunk: int = 256,
+    tile_batch: int = 8,        # tiles per grid program (overhead amortization)
     interpret: bool = False,
 ):
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
@@ -262,32 +289,41 @@ def blend_tiles_pallas(
     feat_w = entry_feat.shape[0]
     cw = chunk + LANE
 
+    # Pad the tile arrays to a whole number of programs; padding tiles are
+    # dummies (sentinel id -> zero work, zero output).
+    n_prog = -(-n_local // tile_batch)
+    n_pad = n_prog * tile_batch
+    tile_start = jnp.pad(tile_start, (0, n_pad - n_local))
+    tile_count = jnp.pad(tile_count, (0, n_pad - n_local))
+    tile_ids = jnp.pad(tile_ids, (0, n_pad - n_local),
+                       constant_values=num_tiles)
+
     kernel = functools.partial(
         _blend_kernel,
         chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
-        acc_width=acc_width, topk=topk,
+        acc_width=acc_width, topk=topk, tile_batch=tile_batch,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_local,),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, acc_width), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tile_batch, P, acc_width), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tile_batch, P, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, geom_w, cw), jnp.float32),
-            pltpu.VMEM((2, feat_w, cw), jnp.float32),
+            pltpu.VMEM((4, geom_w, cw), jnp.float32),
+            pltpu.VMEM((4, feat_w, cw), jnp.float32),
             pltpu.VMEM((P, acc_width), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
 
@@ -295,13 +331,15 @@ def blend_tiles_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_local, P, acc_width), jnp.float32),
-            jax.ShapeDtypeStruct((n_local, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, acc_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, 1), jnp.float32),
         ],
         interpret=interpret,
     )(tile_start, tile_count, tile_ids, entry_geom, entry_feat)
 
-    final_t = t_t[:, 0, :]                                   # [T, P]
+    acc_t = acc_t[:n_local]
+    t_t = t_t[:n_local]
+    final_t = t_t[:, :, 0]                                   # [T, P]
     rgb = acc_t[:, :, RGB_COL:RGB_COL + 3] + final_t[..., None] * bg[None, None, :]
     feat = acc_t[:, :, FEAT_COL:FEAT_COL + out_channels] if mode != "rgb" else None
     return rgb, feat, final_t

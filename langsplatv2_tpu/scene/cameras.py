@@ -75,6 +75,18 @@ class Camera:
         if not 0 <= feature_level <= 3:
             raise ValueError(f"feature_level={feature_level}")
         base = os.path.join(language_feature_dir, self.image_name)
+
+        # Fast path: native mmap loader (langsplatv2_tpu/native) does the
+        # resize + gather in C++ threads; falls through to numpy if the
+        # library is unavailable.
+        from .. import native
+
+        out = native.load_language_feature(
+            base + "_s.npy", base + "_f.npy", feature_level,
+            self.image_height, self.image_width)
+        if out is not None:
+            return out
+
         seg_map = np.load(base + "_s.npy")      # [4, h, w] int, -1 = unassigned
         feature_map = np.load(base + "_f.npy")  # [N_seg, 512]
 

@@ -101,6 +101,13 @@ def read_extrinsics_binary(path: str) -> dict[int, ColmapImage]:
 
 def read_points3d_binary(path: str):
     """Returns (xyz [N,3], rgb [N,3] float in [0,1], error [N])."""
+    from .. import native
+
+    out = native.read_points3d_bin(path)
+    if out is not None:
+        xyz, rgb, err = out
+        return xyz, rgb.astype(np.float64) / 255.0, err
+
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3))
