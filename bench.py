@@ -63,7 +63,7 @@ def main():
     settings = RasterizeSettings(
         image_height=H, image_width=W,
         tanfovx=math.tan(fovx / 2), tanfovy=math.tan(fovy / 2),
-        sh_degree=0, max_entries=2 ** 23, impl="pallas")
+        sh_degree=0, max_entries=5_300_000, impl="pallas")
 
     (means_d, op_d, sc_d, rot_d, col_d, qw_d, qi_d, cb_d) = jax.device_put((
         jnp.asarray(means), jnp.asarray(opacities), jnp.asarray(scales),
@@ -106,6 +106,8 @@ def main():
     rgb, feats, tot = full_frame(view, proj)
     probe = float(jnp.asarray(rgb[0, 0, 0]))
     log(f"compile+first frame: {time.time() - t0:.1f}s entries={int(tot)}")
+    if int(tot) >= settings.max_entries:
+        log("WARNING: entry budget saturated - output may be truncated")
     log("rgb finite:", bool(jnp.isfinite(rgb).all()),
         "feat finite:", bool(jnp.isfinite(feats).all()))
     del rgb, feats  # the decoded map is 6.4GB; two frames must never coexist

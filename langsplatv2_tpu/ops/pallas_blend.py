@@ -48,11 +48,10 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
-GEOM_W = 16                  # geometry row: x y ca cb cc op r g b pad..15
-QUICK_W = 32                 # quick row: geometry(9) + w f32*12 + idx-pairs*6 + pad (8-row aligned)
+GEOM_W = 16                  # geometry row: x y ca cb cc op r g b [pairs*6] pad
 RGB_COL = 6                  # rgb lives at fields 6:9
 FEAT_COL = GEOM_W            # feature channels start after the geometry prefix
-QUICK_WCOL = 9               # quick weights start here
+QUICK_PCOL = 9               # quick index pairs start here (geometry row)
 PAIR_BASE = 256.0            # two u8 indices per f32 slot: lo + 256 * hi
 LANE = 128                   # lane-dim DMA alignment
 
@@ -92,7 +91,7 @@ def _blend_kernel(
 ):
     i = pl.program_id(0)
     cw = chunk + LANE  # fetched window (aligned superset of the chunk)
-    has_feat_dma = mode == "dense"
+    has_feat_dma = mode in ("dense", "quick")
 
     def tile_info(k):
         idx = i * tile_batch + k
@@ -208,14 +207,15 @@ def _blend_kernel(
                 f_rows = jnp.concatenate(
                     [g, fb[: acc_width - FEAT_COL, :]], axis=0)
             else:  # quick: expand packed (weights, idx pairs) on-chip
+                feat_dma(slot, start, c).wait()
+                fb = feat_buf[slot]                 # [16, cw]: w0..w11
                 ch = lax.broadcasted_iota(
                     jnp.int32, (acc_width - FEAT_COL, 1), 0
                 ).astype(jnp.float32)
                 dense = jnp.zeros((acc_width - FEAT_COL, cw), jnp.float32)
                 for j in range(topk):
-                    wj = g[QUICK_WCOL + j:QUICK_WCOL + j + 1, :]
-                    pair = g[QUICK_WCOL + topk + j // 2:
-                             QUICK_WCOL + topk + j // 2 + 1, :]
+                    wj = fb[j:j + 1, :]
+                    pair = g[QUICK_PCOL + j // 2:QUICK_PCOL + j // 2 + 1, :]
                     hi4 = jnp.floor(pair * (1.0 / PAIR_BASE))
                     ij = pair - hi4 * PAIR_BASE if j % 2 == 0 else hi4
                     dense = dense + wj * (ij == ch).astype(jnp.float32)
@@ -355,19 +355,24 @@ def pack_gaussian_rows(xy, conic, opacities, colors):
 
 
 def pack_quick_rows(xy, conic, opacities, colors, quick_weights, quick_indices):
-    """Per-gaussian packed quick rows [N, QUICK_W]: geometry(9) + topk f32
-    weights + topk/2 index pairs (two u8-range channel indices per slot,
-    exact in f32)."""
+    """Per-gaussian packed quick state as TWO 16-wide row sets (one w32
+    gather is ~30% slower than two fused w16 gathers on v5e):
+
+    geometry rows [N, 16]: x y conic(3) op rgb(3) idx-pairs(topk/2) pad
+    weight rows  [N, 16]: topk f32 weights + pad
+    Index pairs pack two u8-range channel ids per f32 slot (exact)."""
     n, s = quick_weights.shape
     assert s % 2 == 0, "quick topk must be even to pack index pairs"
+    assert 9 + s // 2 <= GEOM_W and s <= GEOM_W
     rgb = colors if colors is not None else jnp.zeros((n, 3), xy.dtype)
     qi = quick_indices.astype(jnp.float32)
     pairs = qi[:, 0::2] + PAIR_BASE * qi[:, 1::2]      # [N, s//2]
-    used = 9 + s + s // 2
-    assert used <= QUICK_W, (used, QUICK_W)
-    return jnp.concatenate(
-        [xy, conic, opacities[:, None], rgb, quick_weights, pairs,
-         jnp.zeros((n, QUICK_W - used), xy.dtype)], axis=1)
+    geom = jnp.concatenate(
+        [xy, conic, opacities[:, None], rgb, pairs,
+         jnp.zeros((n, GEOM_W - 9 - s // 2), xy.dtype)], axis=1)
+    wrows = jnp.concatenate(
+        [quick_weights, jnp.zeros((n, GEOM_W - s), xy.dtype)], axis=1)
+    return geom, wrows
 
 
 def to_field_major(entries: jnp.ndarray, chunk: int) -> jnp.ndarray:

@@ -56,7 +56,8 @@ def project_gaussians(
     image_width: int,
     image_height: int,
     scale_modifier: float = 1.0,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    opacities: jnp.ndarray | None = None,  # [N] activated (tight-rect bound)
+):
     """Project means and covariances. Returns (xy, depth, conic, radius-ish
     internals) packaged by `preprocess` below; split out for testability."""
     N = means3d.shape[0]
@@ -126,30 +127,55 @@ def project_gaussians(
 
     visible = in_front & det_ok
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    return xy, depth, conic, radius
+
+    if opacities is None:
+        return xy, depth, conic, radius, None, None
+    # Opacity-aware per-axis extents: alpha = op*exp(-q/2) >= 1/255 only
+    # within |dx| <= sqrt(2*ln(255*op)*cov_xx) (and likewise dy) — the
+    # tightest axis-aligned box of the alpha support. Intersected with the
+    # reference's 3-sigma radius square this removes only tiles no pixel of
+    # which can ever pass the blend's alpha >= 1/255 mask, so binning
+    # shrinks with bit-identical rendered output (ceil + 1px guard absorbs
+    # float rounding).
+    two_l = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
+    dead = two_l <= 0.0  # opacity < 1/255 never blends anywhere
+    ext_x = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * a, 0.0))) + 1.0
+    ext_y = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * c, 0.0))) + 1.0
+    ext_x = jnp.where(dead, 0.0, jnp.minimum(radius_f, ext_x))
+    ext_y = jnp.where(dead, 0.0, jnp.minimum(radius_f, ext_y))
+    zero = jnp.zeros_like(ext_x)
+    ext_x = jnp.where(visible & ~dead, ext_x, zero)
+    ext_y = jnp.where(visible & ~dead, ext_y, zero)
+    radius = jnp.where(dead, 0, radius)
+    return xy, depth, conic, radius, ext_x, ext_y
 
 
-def tile_rect(xy, radius, image_width: int, image_height: int):
+def tile_rect(xy, radius, image_width: int, image_height: int,
+              ext_x=None, ext_y=None):
     """Inclusive-min/exclusive-max touched tile rectangle per Gaussian
-    (CUDA getRect parity)."""
+    (CUDA getRect parity). When per-axis extents are given (opacity-aware
+    tight box, see project_gaussians) they replace the radius square."""
     grid_x = (image_width + BLOCK - 1) // BLOCK
     grid_y = (image_height + BLOCK - 1) // BLOCK
-    r = radius.astype(jnp.float32)
+    rx = radius.astype(jnp.float32) if ext_x is None else ext_x
+    ry = radius.astype(jnp.float32) if ext_y is None else ext_y
     rect_min = jnp.stack(
         [
-            jnp.clip(jnp.floor((xy[:, 0] - r) / BLOCK), 0, grid_x).astype(jnp.int32),
-            jnp.clip(jnp.floor((xy[:, 1] - r) / BLOCK), 0, grid_y).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 0] - rx) / BLOCK), 0, grid_x).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 1] - ry) / BLOCK), 0, grid_y).astype(jnp.int32),
         ],
         axis=-1,
     )
     rect_max = jnp.stack(
         [
-            jnp.clip(jnp.floor((xy[:, 0] + r + BLOCK - 1) / BLOCK), 0, grid_x).astype(jnp.int32),
-            jnp.clip(jnp.floor((xy[:, 1] + r + BLOCK - 1) / BLOCK), 0, grid_y).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 0] + rx + BLOCK - 1) / BLOCK), 0, grid_x).astype(jnp.int32),
+            jnp.clip(jnp.floor((xy[:, 1] + ry + BLOCK - 1) / BLOCK), 0, grid_y).astype(jnp.int32),
         ],
         axis=-1,
     )
     tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    empty = (rx <= 0.0) | (ry <= 0.0)
+    tiles = jnp.where(empty, 0, tiles)
     return rect_min, rect_max, tiles
 
 
@@ -184,13 +210,15 @@ def preprocess(
     image_height: int,
     sh_degree: int,
     scale_modifier: float = 1.0,
+    opacities=None,
 ) -> ProjectedGaussians:
-    xy, depth, conic, radius = project_gaussians(
+    xy, depth, conic, radius, ext_x, ext_y = project_gaussians(
         means3d, scales, rotations, cov3d_precomp,
         viewmatrix, projmatrix, tanfovx, tanfovy,
-        image_width, image_height, scale_modifier,
+        image_width, image_height, scale_modifier, opacities=opacities,
     )
-    rect_min, rect_max, tiles = tile_rect(xy, radius, image_width, image_height)
+    rect_min, rect_max, tiles = tile_rect(
+        xy, radius, image_width, image_height, ext_x=ext_x, ext_y=ext_y)
     # A Gaussian with an empty rect is culled (radius forced to 0).
     radius = jnp.where(tiles > 0, radius, 0)
     tiles = jnp.where(radius > 0, tiles, 0)

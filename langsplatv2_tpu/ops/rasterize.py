@@ -191,20 +191,24 @@ def _rasterize_pallas(
         viewmatrix, projmatrix, campos,
         settings.tanfovx, settings.tanfovy, W, H,
         settings.sh_degree, settings.scale_modifier,
+        opacities=opacities[:, 0],   # opacity-aware tight tile rects
     )
 
     tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
-        proj, grid_x, grid_y, settings.max_entries, interpret=interp)
+        proj, grid_x, grid_y, settings.max_entries,
+        opacities=opacities[:, 0], exact_cull=True, interpret=interp)
     hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, _ = pallas_binning.sorted_binning_from_keys(
         hi, lo, num_tiles)
 
     if quick_weights is not None:
         mode, out_channels = "quick", quick_channels
-        rows = pallas_blend.pack_quick_rows(
+        rows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, opacities[:, 0], proj.rgb,
             quick_weights, quick_indices)
         topk = quick_weights.shape[1]
+        entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+        entry_feat = pallas_blend.to_field_major(wrows[g_sorted], chunk)
     else:
         rows = pallas_blend.pack_gaussian_rows(
             proj.xy, proj.conic, opacities[:, 0], proj.rgb)
@@ -213,12 +217,11 @@ def _rasterize_pallas(
             mode, out_channels = "dense", features.shape[1]
         else:
             mode, out_channels = "rgb", 0
-
-    entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
-    if mode == "dense":
-        entry_feat = pallas_blend.to_field_major(features[g_sorted], chunk)
-    else:
-        entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+        entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+        if mode == "dense":
+            entry_feat = pallas_blend.to_field_major(features[g_sorted], chunk)
+        else:
+            entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(

@@ -122,13 +122,13 @@ class TestPallasBlend:
             proj.xy, proj.conic, ops[:, 0], proj.rgb, dense, binned,
             gx, gy, bg, 512, 4)
 
-        qrows = pallas_blend.pack_quick_rows(
+        qrows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, ops[:, 0], proj.rgb,
             jnp.asarray(qw), jnp.asarray(qi))
         qgeom = pallas_blend.to_field_major(qrows[binned.gauss_id], 256)
-        dummy = jnp.zeros((1, qgeom.shape[1]), jnp.float32)
+        qfeat = pallas_blend.to_field_major(wrows[binned.gauss_id], 256)
         rgb_q, feat_q, _ = pallas_blend.blend_tiles_pallas(
-            qgeom, dummy, binned.tile_start, binned.tile_count, tid, bg,
+            qgeom, qfeat, binned.tile_start, binned.tile_count, tid, bg,
             grid_x=gx, grid_y=gy, mode="quick", out_channels=L * K,
             topk=L * TOPK, chunk=256, interpret=True)
         np.testing.assert_allclose(feat_q, feat_ref, atol=2e-5)
