@@ -106,6 +106,7 @@ def evaluate_quick(
     clip_model: OpenCLIPNetwork | None = None,
     mask_thresh: float = 0.4,
     logger=None,
+    gram_relevancy: bool = True,
 ):
     """Quick-path benchmark over the annotated eval frames
     (reference evaluate_quick, eval_lerf.py:293-371).
@@ -122,16 +123,28 @@ def evaluate_quick(
         j = int(j_str)
         cam = cameras[j]
         settings = make_settings(cam, merged_model.active_sh_degree)
-        feats = render_language_feature_map_quick(
-            merged_model, settings,
-            jnp.asarray(cam.world_view_transform),
-            jnp.asarray(cam.full_proj_transform),
-            jnp.asarray(cam.camera_center), bg)
-        sem_map = jnp.transpose(feats, (0, 2, 3, 1))  # [L, H, W, 512]
-
         prompts = list(img_ann.keys())
         clip_model.set_positives(prompts)
-        valid_map = clip_model.get_max_across_quick(sem_map)
+        if gram_relevancy:
+            # Production query path: relevancy straight from the 192-ch
+            # weight map via codebook-folded phrases + Gram normalization —
+            # numerically identical to decoding [L, 512, H, W] first, but
+            # the CLIP-space map is never materialized.
+            out = render(settings, merged_model,
+                         jnp.asarray(cam.world_view_transform),
+                         jnp.asarray(cam.full_proj_transform),
+                         jnp.asarray(cam.camera_center), bg,
+                         quick_render=True)
+            valid_map = clip_model.get_max_across_from_weights(
+                out.language_feature_weight_map, merged_model.codebooks)
+        else:
+            feats = render_language_feature_map_quick(
+                merged_model, settings,
+                jnp.asarray(cam.world_view_transform),
+                jnp.asarray(cam.full_proj_transform),
+                jnp.asarray(cam.camera_center), bg)
+            sem_map = jnp.transpose(feats, (0, 2, 3, 1))  # [L, H, W, 512]
+            valid_map = clip_model.get_max_across_quick(sem_map)
 
         masks = {p: img_ann[p]["mask"] for p in prompts}
         bboxes = {p: img_ann[p]["bboxes"] for p in prompts}

@@ -220,3 +220,50 @@ class OpenCLIPNetwork:
         out = jnp.einsum("nhwc,pc->nhwp", sem_map, phrases)
         pred = jnp.argmax(out, axis=-1)
         return jnp.where(pred >= pos_num, -1, pred)
+
+    def get_max_across_from_weights(
+        self, weight_map: jnp.ndarray, codebooks: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Relevancy straight from the rasterized coefficient map — the
+        TPU-native production query path.
+
+        The reference decodes [levels, 512, H, W] CLIP maps and dots them
+        with the phrase embeddings (eval_lerf.py:210-220 + get_max_across_
+        quick). But relevancy only needs phrase similarities of the
+        *normalized* feature, and with feat_l = C_l^T w:
+
+            sim = (w . (C_l @ phrase)) / sqrt(w^T (C_l C_l^T) w)
+
+        so folding the codebook into the phrases (Phi [K, P+N]) and a
+        per-level Gram matrix (G [K, K]) computes identical similarities in
+        K-dimensional space: O(K(P+N) + K^2) per pixel instead of
+        O(512(K+P+N)), and the 512-d map (6.4GB at 1080p) never exists.
+
+        weight_map: [L*K, H, W] rasterized coefficients (quick render).
+        codebooks:  [L, K, 512].
+        Returns [L, num_positives, H, W] relevancy, matching
+        get_max_across_quick on the decoded maps to float tolerance.
+        """
+        L, K, D = codebooks.shape
+        h, w = weight_map.shape[1:]
+        n_phr, n_neg = len(self.positives), len(self.negatives)
+        phrases = jnp.concatenate([self.pos_embeds, self.neg_embeds], axis=0)
+
+        wm = weight_map.reshape(L, K, h * w)
+        phi = jnp.einsum("lkd,pd->lkp", codebooks, phrases)     # [L, K, P+N]
+        gram = jnp.einsum("lkd,lmd->lkm", codebooks, codebooks)  # [L, K, K]
+
+        raw = jnp.einsum("lkq,lkp->lqp", wm, phi)                # [L, HW, P+N]
+        nrm2 = jnp.einsum("lkq,lkm,lmq->lq", wm, gram, wm)       # [L, HW]
+        nrm = jnp.sqrt(jnp.maximum(nrm2, 0.0))
+        sim = raw / (nrm[..., None] + 1e-10)
+
+        pos = sim[..., :n_phr]
+        neg = sim[..., n_phr:]
+        sims = jnp.stack([
+            jnp.broadcast_to(pos[..., None], pos.shape + (n_neg,)),
+            jnp.broadcast_to(neg[:, :, None, :], pos.shape + (n_neg,)),
+        ], axis=-1)
+        softmax = jax.nn.softmax(10.0 * sims, axis=-1)
+        min_pos = softmax[..., 0].min(axis=-1)
+        return jnp.transpose(min_pos, (0, 2, 1)).reshape(L, n_phr, h, w)

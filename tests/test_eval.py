@@ -162,3 +162,23 @@ class TestLerfQuickPath:
         assert gt_ann["0"]["cup"]["bboxes"].reshape(-1, 4).shape[0] == 2
         assert gt_ann["0"]["cup"]["mask"][5, 5]
         assert gt_ann["0"]["cup"]["mask"][24, 24]
+
+
+class TestGramRelevancy:
+    def test_matches_decoded_relevancy(self):
+        from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
+
+        net = OpenCLIPNetwork(backend="hash")
+        net.set_positives(["red apple", "blue chair", "grass"])
+        rng = np.random.default_rng(0)
+        L, K, H, W = 3, 64, 24, 32
+        cb = jnp.asarray(rng.normal(size=(L, K, 512)).astype(np.float32))
+        wm = jnp.asarray(np.abs(rng.normal(size=(L * K, H, W))).astype(np.float32))
+
+        flat = wm.reshape(L, K, H * W)
+        feats = jnp.einsum("lkd,lkp->ldp", cb, flat)
+        feats = feats / (jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-10)
+        sem = feats.reshape(L, 512, H, W).transpose(0, 2, 3, 1)
+        ref = net.get_max_across_quick(sem)
+        fast = net.get_max_across_from_weights(wm, cb)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-5)
