@@ -1,0 +1,120 @@
+"""Multi-device scaling benchmark: rays/s vs device count.
+
+North-star target (BASELINE.md): >= 80% rays/s scaling efficiency at 2+
+hosts, measured at 1 chip / 1 host / N hosts. Single-chip hardware is what
+this environment exposes, so by default this harness runs the tile-sharded
+renderer on a virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_
+count=N) to validate the sharded program and measure *relative* scaling of
+the identical pjit/shard_map program; on a real slice it runs unmodified
+over ICI (JAX_PLATFORMS unset, no flags).
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python bench_scaling.py
+Prints one JSON line per device count plus a summary efficiency line.
+"""
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from langsplatv2_tpu.ops.rasterize import RasterizeSettings
+    from langsplatv2_tpu.parallel import make_device_mesh, rasterize_sharded
+    from langsplatv2_tpu.utils.camera_math import (
+        get_world_to_view, get_projection_matrix)
+
+    n_dev = len(jax.devices())
+    on_cpu = jax.devices()[0].platform == "cpu"
+    # CPU-mesh validation runs small; a real slice runs LERF-scale.
+    if on_cpu:
+        N, H, W, ME = 20_000, 256, 512, 2 ** 17
+    else:
+        N, H, W, ME = 1_000_000, 1080, 1920, 2 ** 23
+    L, K, TOPK = 3, 64, 4
+
+    rng = np.random.default_rng(0)
+    means = np.concatenate([
+        rng.uniform(-4, 4, (N, 2)), rng.uniform(2.0, 12.0, (N, 1))
+    ], axis=1).astype(np.float32)
+    scales = rng.uniform(0.004, 0.08, (N, 3)).astype(np.float32)
+    rotations = rng.normal(size=(N, 4)).astype(np.float32)
+    opacities = rng.uniform(0.2, 0.95, (N, 1)).astype(np.float32)
+    colors = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    feats = rng.uniform(0, 1, (N, K)).astype(np.float32)
+
+    fovy = math.radians(60)
+    fovx = 2 * math.atan(math.tan(fovy / 2) * W / H)
+    w2c = get_world_to_view(np.eye(3), np.zeros(3))
+    view = jnp.asarray(w2c.T, jnp.float32)
+    proj = jnp.asarray(
+        w2c.T @ get_projection_matrix(0.01, 100, fovx, fovy).T, jnp.float32)
+    campos = jnp.zeros(3, jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+
+    settings = RasterizeSettings(
+        image_height=H, image_width=W,
+        tanfovx=math.tan(fovx / 2), tanfovy=math.tan(fovy / 2),
+        sh_degree=0, max_entries=ME, tile_cap=1024, tile_batch=8,
+        impl="xla")
+
+    args = tuple(map(jnp.asarray, (means, opacities, scales, rotations,
+                                   colors, feats)))
+
+    if on_cpu:
+        log("NOTE: virtual CPU mesh shares one physical core - these numbers "
+            "validate the sharded program, not scaling; run on a real slice "
+            "for efficiency measurements.")
+    results = {}
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev]
+    for c in counts:
+        mesh = make_device_mesh(n_data=1, n_tile=c,
+                                devices=jax.devices()[:c])
+
+        @jax.jit
+        def frame(means, op, sc, rot, col, f):
+            rgb, fmap, radii, final_t = rasterize_sharded(
+                mesh, settings, means, op, view, proj, campos, bg,
+                scales=sc, rotations=rot, colors_precomp=col, features=f)
+            return rgb, fmap
+
+        out = frame(*args)
+        _ = float(jnp.asarray(out[0][0, 0, 0]))  # compile + settle
+        n_frames = 3 if on_cpu else 10
+        t0 = time.time()
+        for _ in range(n_frames):
+            out = frame(*args)
+        _ = float(jnp.asarray(out[0][0, 0, 0]))
+        dt = (time.time() - t0) / n_frames
+        rays_s = H * W / dt
+        results[c] = rays_s
+        print(json.dumps({
+            "metric": "sharded_render_rays_per_s",
+            "devices": c,
+            "value": round(rays_s / 1e6, 3),
+            "unit": "Mrays/s",
+        }))
+
+    if len(results) > 1:
+        base = results[counts[0]]
+        best = max(counts)
+        eff = results[best] / (base * best / counts[0])
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "devices": best,
+            "value": round(eff, 4),
+            "unit": "fraction_of_linear",
+        }))
+
+
+if __name__ == "__main__":
+    main()
