@@ -1,0 +1,351 @@
+"""Custom-VJP Pallas rasterization for the language-feature training phase.
+
+In feature training the geometry is frozen (reference train.py:212-259
+freezes everything but logits+codebooks), so the only rasterizer gradient
+the loss needs is d(feature_map)/d(features): with
+
+    feat_map[p, k] = sum_j W[j, p] * F[j, k],    W = alpha * T * include,
+
+the blend weights W are constants w.r.t. F, and the backward is simply
+dF[j, k] = sum_p W[j, p] * g[p, k] — a forward W-replay plus ONE MXU matmul
+per chunk, no suffix sums, no atomics. Per-entry gradients are written to
+their (disjoint) sorted-entry rows and reduced to per-gaussian gradients by
+an XLA segment scatter-add over the entry->gaussian ids.
+
+The forward is the existing streaming fast path (ops/rasterize.py pallas
+branch); this module wires jax.custom_vjp around it so the feature-phase
+train step gets the Pallas forward AND a Pallas backward, with gradients
+matching the XLA reference blend's autodiff (same W, same masks).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import BLOCK
+from . import pallas_blend
+from .pallas_blend import (ALPHA_MIN, ALPHA_MAX, T_EPS, GEOM_W, LANE, P,
+                           _exclusive_cumprod_lanes)
+
+GRAD_W = 128   # per-entry gradient rows padded to full lanes (DMA-writable)
+
+
+def _feature_bwd_kernel(
+    # scalar prefetch
+    start_ref, count_ref, tid_ref,
+    # inputs
+    geom_hbm,          # [GEOM_W, E_pad] field-major (HBM)
+    g_tiles,           # [TB, P, K] cotangent block (VMEM)
+    # outputs
+    dfeat_hbm,         # [E_out, GRAD_W] per-entry gradients (HBM, manual DMA)
+    # scratch
+    geom_buf, dbuf, sems, wsem,
+    *,
+    chunk: int,
+    grid_x: int,
+    num_tiles: int,
+    feat_k: int,
+    tile_batch: int,
+):
+    i = pl.program_id(0)
+    cw = chunk + LANE
+
+    def tile_info(k):
+        idx = i * tile_batch + k
+        tid = tid_ref[idx]
+        start = start_ref[idx]
+        count = jnp.where(tid < num_tiles, count_ref[idx], 0)
+        return start, count, tid
+
+    def aligned(start, c):
+        return pl.multiple_of(((start + c * chunk) // LANE) * LANE, LANE)
+
+    def geom_dma(slot, start, c):
+        return pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(aligned(start, c), cw)],
+            geom_buf.at[slot], sems.at[slot])
+
+    start0, count0, _ = tile_info(0)
+
+    @pl.when(count0 > 0)
+    def _():
+        geom_dma(0, start0, 0).start()
+
+    def process_tile(k, carry):
+        start, count, tid = tile_info(k)
+        n_chunks = pl.cdiv(count, chunk)
+        base = (k % 2) * 2
+
+        @pl.when(k + 1 < tile_batch)
+        def _():
+            nstart, ncount, _ = tile_info(k + 1)
+
+            @pl.when(ncount > 0)
+            def _():
+                geom_dma(((k + 1) % 2) * 2, nstart, 0).start()
+
+        tx = (tid % grid_x).astype(jnp.float32)
+        ty = (tid // grid_x).astype(jnp.float32)
+        pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
+        py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+        g_tile = g_tiles[k]                          # [P, K]
+
+        def body(c, t_test):
+            slot = base + c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                geom_dma(base + (c + 1) % 2, start, c + 1).start()
+
+            geom_dma(slot, start, c).wait()
+            g = geom_buf[slot]                       # [GEOM_W, cw]
+            d = (start + c * chunk) - aligned(start, c)
+
+            x = g[0:1, :]
+            y = g[1:2, :]
+            ca = g[2:3, :]
+            cb = g[3:4, :]
+            cc = g[4:5, :]
+            op = g[5:6, :]
+            dx = px - x
+            dy = py - y
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            lane = lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+            remaining = jnp.minimum(count - c * chunk, chunk)
+            in_range = (lane >= d) & (lane < d + remaining)
+            valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            alpha = jnp.where(valid, alpha, 0.0)
+
+            one_minus = 1.0 - alpha
+            t_excl = t_test * _exclusive_cumprod_lanes(one_minus, cw)
+            include = valid & (t_excl * one_minus >= T_EPS)
+            w = jnp.where(include, alpha * t_excl, 0.0)    # [P, cw]
+
+            # dF[entry, k] = sum_p W[p, entry] * g[p, k]
+            dW = lax.dot_general(
+                w, g_tile, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)           # [cw, K]
+            # Keep only this chunk's lanes; shift the d-offset away so row r
+            # of the buffer is entry (start + c*chunk + r).
+            row = lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+            keep = (row >= d) & (row < d + remaining)
+            dW = jnp.where(keep, dW, 0.0)
+            dW = pltpu.roll(dW, shift=cw - d, axis=0)      # entry r at row r
+            kpad = jnp.zeros((cw, GRAD_W - feat_k), jnp.float32)
+            dbuf[...] = jnp.concatenate([dW[:, :feat_k], kpad], axis=1)
+            # Write this chunk's rows. Full-chunk writes can overhang into
+            # the next tile's rows with zeros, but tiles are processed in
+            # increasing entry order and every DMA is waited before the
+            # next, so later (correct) writes land last. Dead sentinel
+            # entries at the array tail are never written; the XLA wrapper
+            # masks them before the per-gaussian reduction.
+            cp = pltpu.make_async_copy(
+                dbuf.at[pl.ds(0, chunk)],
+                dfeat_hbm.at[pl.ds(start + c * chunk, chunk), :],
+                wsem)
+            cp.start()
+            cp.wait()
+
+            log_v = jnp.log1p(-alpha)
+            return t_test * jnp.exp(jnp.sum(log_v, axis=1, keepdims=True))
+
+        t0 = jnp.ones((P, 1), jnp.float32)
+        lax.fori_loop(0, n_chunks, body, t0)
+        return carry
+
+    lax.fori_loop(0, tile_batch, process_tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_x", "grid_y", "feat_k", "chunk", "tile_batch",
+                     "interpret"),
+)
+def feature_grads_pallas(
+    entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] field-major
+    tile_start: jnp.ndarray,    # [T] int32
+    tile_count: jnp.ndarray,    # [T] int32
+    tile_ids: jnp.ndarray,      # [T] int32
+    g_feat: jnp.ndarray,        # [T, P, K] cotangent of the tile feature map
+    *,
+    grid_x: int,
+    grid_y: int,
+    feat_k: int,
+    chunk: int = 256,
+    tile_batch: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-entry feature gradients [E_pad, GRAD_W] (cols [0, feat_k))."""
+    n_local = tile_start.shape[0]
+    num_tiles = grid_x * grid_y
+    e_pad = entry_geom.shape[1]
+
+    n_prog = -(-n_local // tile_batch)
+    n_pad = n_prog * tile_batch
+    tile_start = jnp.pad(tile_start, (0, n_pad - n_local))
+    tile_count = jnp.pad(tile_count, (0, n_pad - n_local))
+    tile_ids = jnp.pad(tile_ids, (0, n_pad - n_local),
+                       constant_values=num_tiles)
+    g_feat = jnp.pad(g_feat, ((0, n_pad - n_local), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _feature_bwd_kernel,
+        chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, feat_k=feat_k,
+        tile_batch=tile_batch,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((tile_batch, P, feat_k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((4, GEOM_W, chunk + LANE), jnp.float32),
+            pltpu.VMEM((chunk + LANE, GRAD_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    dfeat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_pad, GRAD_W), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_count, tile_ids, entry_geom, g_feat)
+    return dfeat
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP dense rasterization (feature-phase training contract)
+# ---------------------------------------------------------------------------
+
+def _dense_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
+                    campos, bg, scales, rotations, shs, colors_precomp,
+                    features):
+    """Pallas forward for dense (training) mode + residuals for backward."""
+    from . import pallas_binning, projection, rasterize_tiles
+    from .rasterize import _pallas_supported, RasterizeOutput
+
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    interp = not _pallas_supported()
+    chunk = 256
+
+    proj = projection.preprocess(
+        means3d, scales, rotations, None, shs, colors_precomp,
+        viewmatrix, projmatrix, campos,
+        settings.tanfovx, settings.tanfovy, W, H,
+        settings.sh_degree, settings.scale_modifier,
+        opacities=opacities[:, 0],
+    )
+    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+        jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
+        settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
+        exact_cull=True, interpret=interp)
+    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    g_sorted, tile_start, tile_count, tile_sorted = (
+        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+
+    rows = pallas_blend.pack_gaussian_rows(
+        proj.xy, proj.conic, opacities[:, 0], proj.rgb)
+    entry_geom = pallas_blend.to_field_major(
+        lax.stop_gradient(rows)[g_sorted], chunk)
+    entry_feat = pallas_blend.to_field_major(features[g_sorted], chunk)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+        entry_geom, lax.stop_gradient(entry_feat), tile_start, tile_count,
+        tile_ids, bg, grid_x=grid_x, grid_y=grid_y, mode="dense",
+        out_channels=features.shape[1], chunk=chunk, interpret=interp)
+
+    rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+    feat = rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+    final_t = rasterize_tiles.tiles_to_image(
+        t_t[..., None], grid_x, grid_y, H, W)[0]
+
+    outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total)
+    residuals = (entry_geom, tile_start, tile_count, g_sorted,
+                 tile_sorted < num_tiles, features.shape[0])
+    return outputs, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def rasterize_dense_vjp(settings, means3d, opacities, viewmatrix, projmatrix,
+                        campos, bg, scales, rotations, shs, colors_precomp,
+                        features):
+    """Dense-mode rasterization with a Pallas forward AND backward.
+
+    FEATURE-PHASE CONTRACT (reference train.py:212-259): geometry is frozen,
+    the loss differentiates only through `features` — this VJP returns the
+    exact d(feature_map)/d(features) and ZERO for every other input. Do not
+    use it for geometry (RGB-phase) training.
+    """
+    return _dense_fwd_impl(settings, means3d, opacities, viewmatrix,
+                           projmatrix, campos, bg, scales, rotations, shs,
+                           colors_precomp, features)[0]
+
+
+def _dense_vjp_fwd(settings, means3d, opacities, viewmatrix, projmatrix,
+                   campos, bg, scales, rotations, shs, colors_precomp,
+                   features):
+    outputs, residuals = _dense_fwd_impl(
+        settings, means3d, opacities, viewmatrix, projmatrix, campos, bg,
+        scales, rotations, shs, colors_precomp, features)
+    args = (means3d, opacities, viewmatrix, projmatrix, campos, bg,
+            scales, rotations, shs, colors_precomp, features)
+    return outputs, (residuals, args)
+
+
+def _dense_vjp_bwd(settings, res, cotangents):
+    from .rasterize import _pallas_supported
+
+    (entry_geom, tile_start, tile_count, g_sorted, entry_valid, n), args = res
+    g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot = cotangents
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    feat_k = g_feat.shape[0]
+    interp = not _pallas_supported()
+
+    g_tiles = _image_to_tiles(g_feat, grid_x, grid_y)       # [T, P, K]
+    tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    dfeat_entries = feature_grads_pallas(
+        entry_geom, tile_start, tile_count, tile_ids, g_tiles,
+        grid_x=grid_x, grid_y=grid_y, feat_k=feat_k, interpret=interp)
+    dfeat_entries = jnp.where(
+        jnp.pad(entry_valid, (0, dfeat_entries.shape[0] - entry_valid.shape[0])
+                )[:, None],
+        dfeat_entries[:, :feat_k], 0.0)
+    e = g_sorted.shape[0]
+    d_features = jnp.zeros((n, feat_k), jnp.float32).at[g_sorted].add(
+        dfeat_entries[:e])
+
+    # args order: means3d, opacities, view, proj, campos, bg, scales,
+    #             rotations, shs, colors_precomp, features — every input
+    #     but `features` is frozen in the feature phase (zero gradient).
+    zeros = [None if a is None else jnp.zeros_like(a) for a in args]
+    zeros[-1] = d_features
+    return tuple(zeros)
+
+
+rasterize_dense_vjp.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
+
+
+def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
+    """[C, H, W] -> [num_tiles, P, C], zero-padding to the tile grid."""
+    C, H, W = img.shape
+    img = jnp.pad(img, ((0, 0), (0, grid_y * BLOCK - H), (0, grid_x * BLOCK - W)))
+    img = img.reshape(C, grid_y, BLOCK, grid_x, BLOCK)
+    return img.transpose(1, 3, 2, 4, 0).reshape(grid_y * grid_x, BLOCK * BLOCK, C)

@@ -105,6 +105,20 @@ def rasterize(
     use_pallas = settings.impl == "pallas" or (
         settings.impl == "auto" and quick_weights is not None)
     if use_pallas:
+        if (features is not None and quick_weights is None
+                and cov3d_precomp is None):
+            # Dense (feature-training) mode: Pallas forward + custom-VJP
+            # backward. Contract: only d(features) is produced (geometry is
+            # frozen in the feature phase, reference train.py:212-259).
+            from .pallas_train import rasterize_dense_vjp
+
+            rgb, feat, final_t, radii, mtc, tot = rasterize_dense_vjp(
+                settings, means3d, opacities, viewmatrix, projmatrix,
+                campos, bg, scales, rotations, shs, colors_precomp, features)
+            return RasterizeOutput(
+                rgb=rgb, feature_map=feat, radii=radii,
+                final_transmittance=final_t, max_tile_count=mtc,
+                total_entries=tot)
         return _rasterize_pallas(
             settings, means3d, opacities, viewmatrix, projmatrix, campos, bg,
             scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,

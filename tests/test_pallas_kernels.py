@@ -181,3 +181,33 @@ class TestFastPathEndToEnd:
         np.testing.assert_allclose(op_.feature_map, ox.feature_map, atol=3e-5)
         np.testing.assert_allclose(op_.final_transmittance,
                                    ox.final_transmittance, atol=3e-5)
+
+
+class TestDenseCustomVJP:
+    def test_feature_grads_match_xla_autodiff(self):
+        n, h, w = 300, 48, 64
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.uniform(0, 1, (n, 64)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(64, h, w)).astype(np.float32))
+
+        def make_loss(impl):
+            st = RasterizeSettings(
+                image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+                tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 12,
+                tile_cap=256, tile_batch=4, impl=impl)
+
+            def loss(f):
+                out = rasterize(
+                    st, jnp.asarray(means), ops, view, pm,
+                    jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                    scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                    colors_precomp=cols, features=f)
+                return jnp.sum(out.feature_map * cot)
+            return loss
+
+        v_x, g_x = jax.value_and_grad(make_loss("xla"))(feats)
+        v_p, g_p = jax.value_and_grad(make_loss("pallas"))(feats)
+        np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
+        np.testing.assert_allclose(g_p, g_x, atol=3e-5)
