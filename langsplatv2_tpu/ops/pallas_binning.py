@@ -78,6 +78,8 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
         onehot = ((off <= e_ids) & (e_ids < cnt_end) & fresh).astype(jnp.float32)
         # HIGHEST precision: the default TPU bf16 matmul (8-bit mantissa)
         # corrupts exact integer payloads like entry offsets and gauss ids.
+        # (Precision.HIGH / bf16x3 would be exact for ints < 2^24 and half
+        # the passes, but Mosaic only lowers DEFAULT and HIGHEST in-kernel.)
         rows_acc = rows_acc + lax.dot_general(
             onehot, win, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
