@@ -261,7 +261,7 @@ def _blend_kernel(
                      "chunk", "tile_batch", "interpret"),
 )
 def blend_tiles_pallas(
-    entry_geom: jnp.ndarray,    # [GEOM_W|QUICK_W, E_pad] f32 field-major
+    entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] f32 field-major
     entry_feat: jnp.ndarray,    # [FW, E_pad] f32 (dense mode only; else [1, E_pad])
     tile_start: jnp.ndarray,    # [T_local] int32
     tile_count: jnp.ndarray,    # [T_local] int32
@@ -280,7 +280,7 @@ def blend_tiles_pallas(
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
 
     Entry arrays are field-major [W, E_pad] with E_pad large enough that any
-    [128-aligned start, chunk + 128) window stays in bounds (pad_entries).
+    [128-aligned start, chunk + 128) window stays in bounds (to_field_major).
     """
     n_local = tile_start.shape[0]
     num_tiles = grid_x * grid_y

@@ -43,20 +43,15 @@ class BackendRenderer:
                  clip_model: OpenCLIPNetwork | None = None,
                  znear: float = 0.01, zfar: float = 100.0,
                  max_entries: int = 2 ** 21, tile_cap: int = 1024):
-        import zmq
-
         self.model = model
         self.background = np.asarray(background, np.float32)
         self.clip_model = clip_model or OpenCLIPNetwork()
         self.znear, self.zfar = znear, zfar
         self.max_entries, self.tile_cap = max_entries, tile_cap
         self.current_prompt = ""
+        self.zmq_port = zmq_port
         self._settings_cache: dict[tuple, RasterizeSettings] = {}
-
-        self.context = zmq.Context()
-        self.socket = self.context.socket(zmq.REP)
-        self.socket.bind(f"tcp://*:{zmq_port}")
-        print(f"Backend Renderer listening on port {zmq_port}")
+        self.context = self.socket = None
 
     # -- camera construction (reference backend_renderer.py:130-159) --
     def _camera(self, c2w: np.ndarray, width: int, height: int, fov_y: float):
@@ -100,15 +95,33 @@ class BackendRenderer:
         final_img = rgb
 
         if show_heatmap and self.current_prompt:
-            lf = render_language_feature_map_quick(
-                self.model, settings, jnp.asarray(view), jnp.asarray(full),
-                jnp.asarray(campos), jnp.asarray(self.background))
-            lf = np.asarray(lf).transpose(0, 2, 3, 1)      # [L, H, W, 512]
+            # Gram-trick query: the reference decodes [L, 512, H, W], sums
+            # levels, normalizes and dots with the text embedding
+            # (backend_renderer.py:16-36,204-228). Folding the codebooks
+            # into the text embedding and the norm into cross-level Gram
+            # matrices computes the identical similarity from the 192-ch
+            # weight map — the 512-d map never exists.
+            out_q = render(settings, self.model, jnp.asarray(view),
+                           jnp.asarray(full), jnp.asarray(campos),
+                           jnp.asarray(self.background), quick_render=True)
+            wmap = out_q.language_feature_weight_map      # [L*K, H, W]
             text = np.asarray(self.clip_model.encode_text([self.current_prompt]))
             text = text / np.linalg.norm(text, axis=-1, keepdims=True)
-            lf_sum = lf.sum(axis=0)
-            lf_sum = lf_sum / (np.linalg.norm(lf_sum, axis=-1, keepdims=True) + 1e-10)
-            sim = lf_sum @ text[0]
+            cb = self.model.codebooks                     # [L, K, 512]
+            L, K, _ = cb.shape
+            h, w = wmap.shape[1:]
+            wm = wmap.reshape(L, K, h * w)
+            # Reference semantics: per-level L2-normalized features are
+            # SUMMED, then the sum is normalized against the text embed.
+            phi = jnp.einsum("lkd,d->lk", cb, jnp.asarray(text[0]))
+            gram = jnp.einsum("lkd,jmd->ljkm", cb, cb)    # [L, L, K, K]
+            cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm, gram, wm)
+            s = jnp.sqrt(jnp.maximum(
+                jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10  # [L, P]
+            num = jnp.sum(jnp.einsum("lkp,lk->lp", wm, phi) / s, axis=0)
+            nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]), axis=(0, 1))
+            sim_j = num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
+            sim = np.asarray(sim_j).reshape(h, w)
 
             raw_max = sim.max()
             range_val = raw_max - sim.min()
@@ -125,6 +138,14 @@ class BackendRenderer:
 
     def run(self):
         import cv2
+        import zmq
+
+        # Socket binding is deferred to serve time so render_request stays
+        # testable without network side effects.
+        self.context = zmq.Context()
+        self.socket = self.context.socket(zmq.REP)
+        self.socket.bind(f"tcp://*:{self.zmq_port}")
+        print(f"Backend Renderer listening on port {self.zmq_port}")
 
         while True:
             try:

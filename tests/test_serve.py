@@ -1,0 +1,84 @@
+"""Serving backend: request handling + Gram-trick heatmap equivalence."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from langsplatv2_tpu.models import gaussians as gm
+from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
+from langsplatv2_tpu.serve.backend import BackendRenderer
+
+
+@pytest.fixture()
+def merged_model():
+    n, L, K = 40, 3, 64
+    rng = np.random.default_rng(0)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack([np.cos(ang), np.sin(ang), np.full(n, 5.0)], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    model = gm.create_from_pcd(pts, cols, 1.0, capacity=n)
+    qw = rng.uniform(0, 1, (n, L * 4)).astype(np.float32)
+    qw /= qw.sum(1, keepdims=True)
+    qi = np.concatenate(
+        [rng.integers(0, K, (n, 4)) + l * K for l in range(L)], 1
+    ).astype(np.float32)
+    return model.replace(
+        quick_weights=jnp.asarray(qw), quick_indices=jnp.asarray(qi),
+        codebooks=jnp.asarray(rng.normal(size=(L, K, 512)).astype(np.float32)))
+
+
+class TestBackend:
+    def test_rgb_request(self, merged_model):
+        backend = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256)
+        c2w = np.eye(4)
+        img = backend.render_request(
+            {"c2w": c2w.tolist(), "width": 96, "height": 64,
+             "fov_y": math.radians(60)})
+        assert img.shape == (64, 96, 3)
+        assert np.isfinite(img).all() and img.max() <= 1.0
+
+    def test_heatmap_request_matches_decode(self, merged_model):
+        backend = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256)
+        c2w = np.eye(4)
+        req = {"c2w": c2w.tolist(), "width": 96, "height": 64,
+               "fov_y": math.radians(60), "prompt": "red car",
+               "show_heatmap": True, "threshold": -10.0}
+        img = backend.render_request(req)
+        assert img.shape == (64, 96, 3)
+        assert np.isfinite(img).all()
+
+        # Gram similarity equals the decode-and-normalize reference path.
+        from langsplatv2_tpu.eval.lerf import render_language_feature_map_quick
+        settings, view, full, campos = backend._camera(
+            np.asarray(c2w, np.float32), 96, 64, math.radians(60))
+        lf = render_language_feature_map_quick(
+            merged_model, settings, jnp.asarray(view), jnp.asarray(full),
+            jnp.asarray(campos), jnp.asarray(backend.background))
+        lf = np.asarray(lf).transpose(0, 2, 3, 1)
+        text = np.asarray(backend.clip_model.encode_text(["red car"]))
+        text = text / np.linalg.norm(text, axis=-1, keepdims=True)
+        lf_sum = lf.sum(axis=0)
+        lf_sum = lf_sum / (np.linalg.norm(lf_sum, axis=-1, keepdims=True) + 1e-10)
+        sim_ref = lf_sum @ text[0]
+
+        cb = merged_model.codebooks
+        from langsplatv2_tpu.models.renderer import render
+        out_q = render(settings, merged_model, jnp.asarray(view),
+                       jnp.asarray(full), jnp.asarray(campos),
+                       jnp.asarray(backend.background), quick_render=True)
+        wm = out_q.language_feature_weight_map.reshape(3, 64, -1)
+        phi = jnp.einsum("lkd,d->lk", cb, jnp.asarray(text[0]))
+        gram = jnp.einsum("lkd,jmd->ljkm", cb, cb)
+        cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm, gram, wm)
+        s = jnp.sqrt(jnp.maximum(
+            jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10
+        num = jnp.sum(jnp.einsum("lkp,lk->lp", wm, phi) / s, axis=0)
+        nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]), axis=(0, 1))
+        sim = np.asarray(num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10))
+        np.testing.assert_allclose(sim.reshape(64, 96), sim_ref, atol=5e-5)
