@@ -82,9 +82,11 @@ def segmentation_process_room(valid_map, thresh, gt_masks, prompts):
 def evaluate_quick(merged_model, cameras_by_frame: dict, gt_ann: dict,
                    clip_model: OpenCLIPNetwork | None = None,
                    mask_thresh: float = 0.25, scene_name: str = "",
-                   logger=None):
+                   logger=None, gram_relevancy: bool = True):
     """3D-OVS quick evaluation (reference evaluate_quick,
     eval_3d_ovs.py:289-435). `cameras_by_frame[frame_id]` -> Camera."""
+    from ..models.renderer import render
+
     clip_model = clip_model or OpenCLIPNetwork()
     bg = jnp.zeros(3, jnp.float32)
     chosen_iou_all = []
@@ -92,15 +94,26 @@ def evaluate_quick(merged_model, cameras_by_frame: dict, gt_ann: dict,
     for frame_id, img_ann in gt_ann.items():
         cam = cameras_by_frame[frame_id]
         settings = make_settings(cam, merged_model.active_sh_degree)
-        feats = render_language_feature_map_quick(
-            merged_model, settings,
-            jnp.asarray(cam.world_view_transform),
-            jnp.asarray(cam.full_proj_transform),
-            jnp.asarray(cam.camera_center), bg)
-        sem_map = jnp.transpose(feats, (0, 2, 3, 1))
         prompts = list(img_ann.keys())
         clip_model.set_positives(prompts)
-        valid_map = clip_model.get_max_across_quick(sem_map)
+        if gram_relevancy:
+            # Codebook-folded query straight from the weight map (identical
+            # result, no [L, 512, H, W] materialization; see eval/lerf.py).
+            out = render(settings, merged_model,
+                         jnp.asarray(cam.world_view_transform),
+                         jnp.asarray(cam.full_proj_transform),
+                         jnp.asarray(cam.camera_center), bg,
+                         quick_render=True)
+            valid_map = clip_model.get_max_across_from_weights(
+                out.language_feature_weight_map, merged_model.codebooks)
+        else:
+            feats = render_language_feature_map_quick(
+                merged_model, settings,
+                jnp.asarray(cam.world_view_transform),
+                jnp.asarray(cam.full_proj_transform),
+                jnp.asarray(cam.camera_center), bg)
+            sem_map = jnp.transpose(feats, (0, 2, 3, 1))
+            valid_map = clip_model.get_max_across_quick(sem_map)
         masks = {p: img_ann[p]["mask"] for p in prompts}
         if scene_name == "room":
             c_iou, c_lvl = segmentation_process_room(
