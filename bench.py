@@ -118,7 +118,11 @@ def main():
         for _ in range(n):
             del out
             out = fn(view, proj)
-        _ = float(jnp.asarray(out[0]).ravel()[0])  # force completion
+        # Force one element of EVERY output: for full_frame the decode is a
+        # separate jit computation enqueued after the weight-map render, so
+        # forcing only rgb would leave the last decode outside the window.
+        for o in out:
+            _ = float(jnp.asarray(o).ravel()[0])
         return n / (time.time() - t0)
 
     fps_wmap = fps_of(frame_weightmap)

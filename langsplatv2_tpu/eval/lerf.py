@@ -61,16 +61,17 @@ def _vis_mask_save(mask: np.ndarray, path: str):
     cv2.imwrite(path, (mask.astype(np.uint8) * 255))
 
 
-def merge_level_models(models: list[GaussianModel]) -> GaussianModel:
+def merge_level_models(models: list[GaussianModel], topk: int = 4) -> GaussianModel:
     """Merge independently trained per-level models into one quick-render
     model: weights/indices [N, levels*topk] with indices offset by
     level*codebook_size; codebooks stacked [levels, K, 512]
-    (reference eval_lerf.py:320-348, backend_renderer.py:104-128)."""
+    (reference eval_lerf.py:320-348 — topk threaded through like
+    eval_lerf.py:334's --topk, backend_renderer.py:104-128)."""
     base = models[0]
     ws, idxs, books = [], [], []
     for lvl, m in enumerate(models):
         K = m.codebooks.shape[1]
-        w, idx = m.get_weights_and_indices(k=4)
+        w, idx = m.get_weights_and_indices(k=topk)
         ws.append(w)
         idxs.append(idx + 0)  # get_weights_and_indices already offsets per
         # layer within a model; offset across LEVELS here:

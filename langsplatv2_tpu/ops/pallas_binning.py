@@ -180,7 +180,7 @@ def expand_entries_pallas(
     max_entries: int,
     *,
     opacities=None,           # [N] activated; required when exact_cull
-    max_windows: int = 256,
+    max_windows: int | None = None,
     exact_cull: bool = False,
     interpret: bool = False,
 ):
@@ -192,6 +192,12 @@ def expand_entries_pallas(
     """
     n = proj.tiles_touched.shape[0]
     assert n <= GAUSS_MASK + 1, "gauss id must fit in 20 bits"
+    # The packed sort key gives the tile id 13 bits, and one extra value is
+    # the dead-entry sentinel; silently overflowing here would corrupt the
+    # sort order (wrong images, no error) at >1080p render targets.
+    assert grid_x * grid_y < (1 << 13) - 1, (
+        f"tile grid {grid_x}x{grid_y} overflows the 13-bit sort key; "
+        "render in crops or widen the key packing")
     tiles = proj.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles
     total = jnp.minimum(jnp.sum(tiles), max_entries)
@@ -203,6 +209,12 @@ def expand_entries_pallas(
         0)
 
     n_pad = max(-(-n // LANE) * LANE, WINDOW) + WINDOW
+    if max_windows is None:
+        # Full-coverage bound: the window sweep is a dynamic while_loop that
+        # exits as soon as the chunk is covered, so a large static bound is
+        # free — and a small one silently DROPS entries when a chunk's owning
+        # gaussians are interleaved with long culled runs.
+        max_windows = -(-n_pad // WINDOW)
     rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
     rect_h = jnp.maximum(proj.rect_max[:, 1] - proj.rect_min[:, 1], 0)
     if exact_cull:
@@ -276,7 +288,10 @@ def pack_sort_keys(tile, depth, gauss, num_tiles: int):
     (tile, full-precision depth, submission order) order of the reference's
     radix sort with only two u32 operands (u64 would silently truncate
     without the global x64 flag)."""
-    depth_bits = lax.bitcast_convert_type(depth, jnp.uint32) >> 1  # 31 bits
+    assert num_tiles < (1 << 13) - 1, "tile id must fit in 13 bits + sentinel"
+    # Drop the always-zero sign bit (depth > 0 in view space): the kept 31
+    # bits reproduce positive-depth f32 ordering exactly, including the LSB.
+    depth_bits = lax.bitcast_convert_type(depth, jnp.uint32) & jnp.uint32(0x7FFFFFFF)
     tile_u = tile.astype(jnp.uint32)
     gauss_u = gauss.astype(jnp.uint32)
     hi = (tile_u << 19) | (depth_bits >> 12)

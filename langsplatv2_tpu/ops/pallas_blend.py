@@ -88,10 +88,11 @@ def _blend_kernel(
     acc_width: int,
     topk: int,
     tile_batch: int,
+    combined: bool,       # entry_geom is [32, E]: geom rows 0:16 + feat 16:32
 ):
     i = pl.program_id(0)
     cw = chunk + LANE  # fetched window (aligned superset of the chunk)
-    has_feat_dma = mode in ("dense", "quick")
+    has_feat_dma = mode in ("dense", "quick") and not combined
 
     def tile_info(k):
         idx = i * tile_batch + k
@@ -166,9 +167,15 @@ def _blend_kernel(
             geom_dma(slot, start, c).wait()
             # Field-major window [W, cw]; entries live on lanes
             # [d, d + chunk) — alignment is handled by masks, not data
-            # movement (no roll, no transpose).
-            g = geom_buf[slot]
+            # movement (no roll, no transpose). Out-of-range lanes can hold
+            # garbage (cascade segments are not zero-padded); zero them so
+            # the accumulate matmul never sees 0 * NaN.
             d = (start + c * chunk) - aligned(start, c)   # in [0, LANE)
+            lane = lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+            remaining = jnp.minimum(count - c * chunk, chunk)
+            in_range = (lane >= d) & (lane < d + remaining)
+            g_all = jnp.where(in_range, geom_buf[slot], 0.0)
+            g = g_all[:GEOM_W] if combined else g_all
             x = g[0:1, :]
             y = g[1:2, :]
             ca = g[2:3, :]
@@ -180,9 +187,6 @@ def _blend_kernel(
             dy = py - y
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            lane = lax.broadcasted_iota(jnp.int32, (1, cw), 1)
-            remaining = jnp.minimum(count - c * chunk, chunk)
-            in_range = (lane >= d) & (lane < d + remaining)
             valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
             alpha = jnp.where(valid, alpha, 0.0)
 
@@ -203,12 +207,15 @@ def _blend_kernel(
                 f_rows = g
             elif mode == "dense":
                 feat_dma(slot, start, c).wait()
-                fb = feat_buf[slot]
+                fb = jnp.where(in_range, feat_buf[slot], 0.0)
                 f_rows = jnp.concatenate(
                     [g, fb[: acc_width - FEAT_COL, :]], axis=0)
             else:  # quick: expand packed (weights, idx pairs) on-chip
-                feat_dma(slot, start, c).wait()
-                fb = feat_buf[slot]                 # [16, cw]: w0..w11
+                if combined:
+                    fb = g_all[GEOM_W:GEOM_W + 16]  # [16, cw]: w0..w11
+                else:
+                    feat_dma(slot, start, c).wait()
+                    fb = jnp.where(in_range, feat_buf[slot], 0.0)  # w0..w11
                 ch = lax.broadcasted_iota(
                     jnp.int32, (acc_width - FEAT_COL, 1), 0
                 ).astype(jnp.float32)
@@ -258,7 +265,7 @@ def _blend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
-                     "chunk", "tile_batch", "interpret"),
+                     "chunk", "tile_batch", "combined", "interpret"),
 )
 def blend_tiles_pallas(
     entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] f32 field-major
@@ -275,13 +282,18 @@ def blend_tiles_pallas(
     topk: int = 12,             # quick mode: sparse pairs per entry
     chunk: int = 256,
     tile_batch: int = 8,        # tiles per grid program (overhead amortization)
+    combined: bool = False,     # entry_geom is [32, E]: geom + feat rows
     interpret: bool = False,
 ):
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
 
     Entry arrays are field-major [W, E_pad] with E_pad large enough that any
     [128-aligned start, chunk + 128) window stays in bounds (to_field_major).
+    With `combined`, geometry and the 16 feature rows travel in ONE [32, E]
+    array (the cascade-binning layout) and a single DMA per chunk.
     """
+    assert not (combined and mode == "dense"), \
+        "combined rows carry only 16 feature rows"
     n_local = tile_start.shape[0]
     num_tiles = grid_x * grid_y
     acc_width = FEAT_COL + max(out_channels, 1) if mode != "rgb" else GEOM_W
@@ -302,6 +314,7 @@ def blend_tiles_pallas(
         _blend_kernel,
         chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
         acc_width=acc_width, topk=topk, tile_batch=tile_batch,
+        combined=combined,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

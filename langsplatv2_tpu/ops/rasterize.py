@@ -62,6 +62,10 @@ class RasterizeSettings(NamedTuple):
     # "pallas" (streaming TPU kernels, forward/inference),
     # "auto" (pallas for quick-mode inference, xla otherwise).
     impl: str = "auto"
+    # Pallas binning strategy: "cascade" (depth-sort N gaussians + streaming
+    # partition passes — no global entry sort, no random entry gather) or
+    # "sort" (entry expansion + packed-key sort + XLA pack gather).
+    binning: str = "cascade"
 
     @property
     def grid_x(self) -> int:
@@ -188,10 +192,14 @@ def _rasterize_pallas(
 ) -> RasterizeOutput:
     """Streaming-kernel forward pipeline (inference fast path).
 
-    preprocess (XLA) -> pallas entry expansion -> packed two-word u32 key
-    sort -> ONE entry pack gather -> pallas tile blend (early-exit, MXU
-    accumulate). Exactly matches the XLA pipeline's outputs (the pack is
-    bit-exact: f32 geometry + f32 weights + integer index pairs).
+    Two binning strategies (settings.binning):
+    - "cascade": depth-sort the N gaussians + ONE N-row gather, then
+      order-preserving Pallas partition passes stream the packed rows into
+      per-tile depth-sorted segments (pallas_cascade.py). Default.
+    - "sort": preprocess (XLA) -> pallas entry expansion -> packed two-word
+      u32 key sort -> entry pack gather -> blend. Kept as the cross-check
+      path (the pack is bit-exact either way: f32 geometry + f32 weights +
+      integer index pairs).
     """
     from . import pallas_binning, pallas_blend
 
@@ -207,6 +215,42 @@ def _rasterize_pallas(
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0],   # opacity-aware tight tile rects
     )
+
+    if settings.binning == "cascade" and features is None:
+        from . import pallas_cascade
+
+        geom_rows, feat_rows = pallas_cascade.pack_cascade_rows(
+            proj, opacities[:, 0], quick_weights, quick_indices)
+        entries, tile_start, tile_count, total, _overflow = \
+            pallas_cascade.cascade_binning(
+                geom_rows, feat_rows, jax.lax.stop_gradient(proj.depth),
+                grid_x, grid_y,
+                budget4=-(-settings.max_entries // 128) * 128,
+                interpret=interp)
+        if quick_weights is not None:
+            mode, out_channels = "quick", quick_channels
+            topk = quick_weights.shape[1]
+        else:
+            mode, out_channels, topk = "rgb", 0, 12
+        dummy_feat = jnp.zeros((1, 1), jnp.float32)
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+            entries, dummy_feat, tile_start, tile_count, tile_ids, bg,
+            grid_x=grid_x, grid_y=grid_y, mode=mode,
+            out_channels=out_channels, topk=topk, chunk=chunk,
+            combined=True, interpret=interp)
+
+        rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+        feat = (rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+                if feat_t is not None else None)
+        final_t = rasterize_tiles.tiles_to_image(
+            t_t[..., None], grid_x, grid_y, H, W)[0]
+        return RasterizeOutput(
+            rgb=rgb, feature_map=feat, radii=proj.radius,
+            final_transmittance=final_t,
+            max_tile_count=tile_count.max(),
+            total_entries=total,
+        )
 
     tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,

@@ -67,9 +67,17 @@ def make_feature_optimizer(opt) -> GroupedOptimizer:
 # RGB phase
 # ---------------------------------------------------------------------------
 
-def make_rgb_train_step(settings, optimizer: GroupedOptimizer, lambda_dssim: float):
+def make_rgb_train_step(settings, optimizer: GroupedOptimizer, lambda_dssim: float,
+                        accum_iter: int = 1):
     """Returns jitted (model, opt_state, cam_arrays, gt_image) -> (model,
-    opt_state, metrics). cam_arrays = (view, proj, campos, bg)."""
+    opt_state, metrics). cam_arrays = (view, proj, campos, bg).
+
+    With accum_iter > 1 the signature gains a gradient-accumulation carry and
+    a traced `do_update` flag (reference train.py:261 steps the optimizer
+    only when iteration % accum_iter == 0; torch sums .grad between steps,
+    including the viewspace grads the densify stats read)."""
+    if accum_iter > 1:
+        return _make_rgb_train_step_accum(settings, optimizer, lambda_dssim)
 
     @jax.jit
     def step(model: GaussianModel, opt_state, view, proj, campos, bg, gt_image):
@@ -124,6 +132,82 @@ def make_rgb_train_step(settings, optimizer: GroupedOptimizer, lambda_dssim: flo
     return step
 
 
+def _make_rgb_train_step_accum(settings, optimizer: GroupedOptimizer,
+                               lambda_dssim: float):
+    """RGB step with torch-style gradient accumulation: grads (including the
+    means2D carrier the densification stats read) SUM across iterations and
+    the optimizer applies the running sum when `do_update` is set
+    (reference train.py:261 + torch .grad accumulation semantics)."""
+
+    @jax.jit
+    def step(model: GaussianModel, opt_state, accum, view, proj, campos, bg,
+             gt_image, do_update):
+        params = rgb_params(model)
+        dummy = jnp.zeros((model.capacity, 2), jnp.float32)
+
+        def loss_fn(params, dummy):
+            m = model.replace(**params)
+            out = render(settings, m, view, proj, campos, bg, means2d_dummy=dummy)
+            l1 = losses.l1_loss(out.render, gt_image)
+            loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
+                1.0 - losses.ssim(out.render, gt_image)
+            )
+            return loss, (out, l1)
+
+        (loss, (out, l1)), (grads, dummy_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, dummy)
+
+        live = model.live
+        grads = {k: jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0)
+                 for k, g in grads.items()}
+        grads = jax.tree_util.tree_map(jnp.add, accum["grads"], grads)
+        means2d_sum = accum["means2d"] + dummy_grad
+
+        def apply_update(_):
+            new_params, new_opt = optimizer.update(grads, opt_state, params)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, grads)
+            return new_params, new_opt, zeros, jnp.zeros_like(means2d_sum)
+
+        def keep_accumulating(_):
+            return params, opt_state, grads, means2d_sum
+
+        new_params, opt_state_out, grads_out, means2d_out = jax.lax.cond(
+            do_update, apply_update, keep_accumulating, None)
+        model = model.replace(**new_params)
+
+        # Densification stats read the RUNNING viewspace grad sum, exactly
+        # like the reference reads .grad before zero_grad (train.py:249-263).
+        vis = out.visibility_filter
+        model = model.replace(
+            max_radii2d=jnp.where(
+                vis, jnp.maximum(model.max_radii2d, out.radii.astype(jnp.float32)),
+                model.max_radii2d,
+            ),
+            xyz_gradient_accum=model.xyz_gradient_accum + jnp.where(
+                vis[:, None],
+                jnp.linalg.norm(means2d_sum[:, :2], axis=-1, keepdims=True), 0.0),
+            denom=model.denom + jnp.where(vis[:, None], 1.0, 0.0),
+        )
+        metrics = {
+            "loss": loss, "l1": l1,
+            "num_visible": vis.sum(),
+            "max_tile_count": out.max_tile_count,
+            "total_entries": out.total_entries,
+        }
+        accum_out = {"grads": grads_out, "means2d": means2d_out}
+        return model, opt_state_out, accum_out, metrics
+
+    return step
+
+
+def init_rgb_accum(model: GaussianModel):
+    return {
+        "grads": jax.tree_util.tree_map(jnp.zeros_like, rgb_params(model)),
+        "means2d": jnp.zeros((model.capacity, 2), jnp.float32),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Language-feature phase
 # ---------------------------------------------------------------------------
@@ -135,14 +219,17 @@ def make_feature_train_step(
     use_cos_loss: bool = True,
     use_l1_loss: bool = False,
     normalize: bool = False,
+    accum_iter: int = 1,
 ):
     """Feature-phase step (train.py:146-167): geometry frozen, optimize
     logits + codebooks against the masked 2D CLIP map. `layer_idx` is static
-    (the curriculum changes it at most vq_layer_num times per run)."""
+    (the curriculum changes it at most vq_layer_num times per run).
 
-    @partial(jax.jit, static_argnames=("layer_idx",))
-    def step(model: GaussianModel, opt_state, view, proj, campos, bg,
-             gt_feature, feature_mask, layer_idx: int = 0):
+    With accum_iter > 1 the step gains a gradient-accumulation carry dict and
+    a traced `do_update` flag (reference train.py:261)."""
+
+    def compute_grads(model, view, proj, campos, bg, gt_feature, feature_mask,
+                      layer_idx):
         params = feature_params(model)
 
         def loss_fn(params):
@@ -168,6 +255,36 @@ def make_feature_train_step(
         # because opacity is forced to 0, but guard explicitly anyway.
         grads["language_logits"] = jnp.where(
             model.live[:, None], grads["language_logits"], 0.0)
+        return params, grads, loss, l1
+
+    if accum_iter > 1:
+        @partial(jax.jit, static_argnames=("layer_idx",))
+        def step_accum(model: GaussianModel, opt_state, accum, view, proj,
+                       campos, bg, gt_feature, feature_mask, do_update,
+                       layer_idx: int = 0):
+            params, grads, loss, l1 = compute_grads(
+                model, view, proj, campos, bg, gt_feature, feature_mask,
+                layer_idx)
+            grads = jax.tree_util.tree_map(jnp.add, accum, grads)
+
+            def apply_update(_):
+                new_params, new_opt = optimizer.update(grads, opt_state, params)
+                return new_params, new_opt, jax.tree_util.tree_map(
+                    jnp.zeros_like, grads)
+
+            new_params, opt_state_out, accum_out = jax.lax.cond(
+                do_update, apply_update,
+                lambda _: (params, opt_state, grads), None)
+            model = model.replace(**new_params)
+            return model, opt_state_out, accum_out, {"loss": loss, "l1": l1}
+
+        return step_accum
+
+    @partial(jax.jit, static_argnames=("layer_idx",))
+    def step(model: GaussianModel, opt_state, view, proj, campos, bg,
+             gt_feature, feature_mask, layer_idx: int = 0):
+        params, grads, loss, l1 = compute_grads(
+            model, view, proj, campos, bg, gt_feature, feature_mask, layer_idx)
         new_params, opt_state = optimizer.update(grads, opt_state, params)
         model = model.replace(**new_params)
         return model, opt_state, {"loss": loss, "l1": l1}
@@ -250,14 +367,22 @@ def train_rgb(
     seed: int = 0,
     tile_cap: int = 1024,
     max_entries: int = 2 ** 21,
-    on_iteration: Callable[[int, GaussianModel, dict], None] | None = None,
+    accum_iter: int = 1,
+    opt_state=None,
+    on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
 ):
     """Phase-A loop (reference train.py:114-267 without the GUI poll).
+
+    `on_iteration(iteration, model, opt_state, metrics)` makes the live
+    optimizer state available to checkpoint callbacks (the reference's
+    capture() persists Adam moments, gaussian_model.py:67-101).
 
     Returns (model, opt_state, logs)."""
     iterations = iterations or opt.iterations
     optimizer = make_rgb_optimizer(opt, model.spatial_lr_scale)
-    opt_state = optimizer.init(rgb_params(model))
+    if opt_state is None:
+        opt_state = optimizer.init(rgb_params(model))
+    accum = init_rgb_accum(model) if accum_iter > 1 else None
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
     logs = TrainLogs()
@@ -271,7 +396,8 @@ def train_rgb(
         if sig not in step_cache:
             settings = make_settings(camera, sh_degree, 1.0, max_entries,
                                      tile_cap, tile_batch=16)
-            step_cache[sig] = make_rgb_train_step(settings, optimizer, opt.lambda_dssim)
+            step_cache[sig] = make_rgb_train_step(
+                settings, optimizer, opt.lambda_dssim, accum_iter)
         return step_cache[sig]
 
     viewpoint_stack: list = []
@@ -285,7 +411,16 @@ def train_rgb(
         step = get_step(cam, model.active_sh_degree)
         view, proj, campos, bg = camera_arrays(cam, bg_color)
         gt = jnp.asarray(cam.image)
-        model, opt_state, metrics = step(model, opt_state, view, proj, campos, bg, gt)
+        if accum is None:
+            model, opt_state, metrics = step(
+                model, opt_state, view, proj, campos, bg, gt)
+        else:
+            # Reference quirk preserved: the optimizer never steps on the
+            # final iteration (train.py:261 `iteration < opt.iterations`).
+            do_update = jnp.asarray(
+                iteration < iterations and iteration % accum_iter == 0)
+            model, opt_state, accum, metrics = step(
+                model, opt_state, accum, view, proj, campos, bg, gt, do_update)
 
         loss = float(metrics["loss"])
         logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss
@@ -297,16 +432,23 @@ def train_rgb(
                     iteration % opt.densification_interval == 0:
                 size_threshold = 20.0 if iteration > opt.opacity_reset_interval else 0.0
                 key, sub = jax.random.split(key)
-                model, opt_state = run_densify(
-                    model, opt_state, sub, opt, extent, size_threshold)
+                # Bundle the grad accumulator with the optimizer state: both
+                # get the same row surgery (grow + zero reallocated rows).
+                bundle = (opt_state, accum) if accum is not None else opt_state
+                model, bundle = run_densify(
+                    model, bundle, sub, opt, extent, size_threshold)
+                opt_state, accum = bundle if accum is not None else (bundle, None)
                 logs.events.append((iteration, "densify", int(model.num_live)))
             if iteration % opt.opacity_reset_interval == 0 or (
                     white_background and iteration == opt.densify_from_iter):
                 model, opt_state = apply_opacity_reset(model, opt_state)
+                if accum is not None:
+                    accum["grads"]["opacity"] = jnp.zeros_like(
+                        accum["grads"]["opacity"])
                 logs.events.append((iteration, "opacity_reset", None))
 
         if on_iteration is not None:
-            on_iteration(iteration, model, metrics)
+            on_iteration(iteration, model, opt_state, metrics)
     return model, opt_state, logs
 
 
@@ -327,8 +469,10 @@ def train_features(
     seed: int = 0,
     tile_cap: int = 1024,
     max_entries: int = 2 ** 21,
+    accum_iter: int = 1,
+    opt_state=None,
     feature_cache: dict | None = None,
-    on_iteration: Callable[[int, GaussianModel, dict], None] | None = None,
+    on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
 ):
     """Phase-C loop (reference train.py language branch). Geometry frozen.
 
@@ -336,7 +480,10 @@ def train_features(
     re-loading npys every epoch; pass {} to enable caching."""
     assert model.language_logits is not None and model.codebooks is not None
     optimizer = make_feature_optimizer(opt)
-    opt_state = optimizer.init(feature_params(model))
+    if opt_state is None:
+        opt_state = optimizer.init(feature_params(model))
+    accum = (jax.tree_util.tree_map(jnp.zeros_like, feature_params(model))
+             if accum_iter > 1 else None)
     rng = random.Random(seed)
     logs = TrainLogs()
     layer_num = model.codebooks.shape[0]
@@ -350,7 +497,8 @@ def train_features(
             settings = make_settings(camera, model.active_sh_degree, 1.0,
                                      max_entries, tile_cap, tile_batch=16)
             step_cache[sig] = make_feature_train_step(
-                settings, optimizer, topk, use_cos_loss, use_l1_loss, normalize)
+                settings, optimizer, topk, use_cos_loss, use_l1_loss,
+                normalize, accum_iter)
         return step_cache[sig]
 
     def get_gt(cam):
@@ -373,13 +521,20 @@ def train_features(
         step = get_step(cam)
         view, proj, campos, bg = camera_arrays(cam, bg_color)
         gt_feat, gt_mask = get_gt(cam)
-        model, opt_state, metrics = step(
-            model, opt_state, view, proj, campos, bg, gt_feat, gt_mask,
-            layer_idx=layer_idx)
+        if accum is None:
+            model, opt_state, metrics = step(
+                model, opt_state, view, proj, campos, bg, gt_feat, gt_mask,
+                layer_idx=layer_idx)
+        else:
+            do_update = jnp.asarray(
+                iteration < iterations and iteration % accum_iter == 0)
+            model, opt_state, accum, metrics = step(
+                model, opt_state, accum, view, proj, campos, bg, gt_feat,
+                gt_mask, do_update, layer_idx=layer_idx)
 
         loss = float(metrics["loss"])
         logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss
         logs.losses.append(loss)
         if on_iteration is not None:
-            on_iteration(iteration, model, metrics)
+            on_iteration(iteration, model, opt_state, metrics)
     return model, opt_state, logs

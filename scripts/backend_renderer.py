@@ -19,6 +19,7 @@ def main():
     parser.add_argument("--zmq_port", type=int, default=5555)
     parser.add_argument("--white_background", action="store_true")
     parser.add_argument("--clip_backend", type=str, default="auto")
+    parser.add_argument("--topk", type=int, default=4)
     args = parser.parse_args()
 
     from langsplatv2_tpu.eval.lerf import merge_level_models
@@ -31,7 +32,7 @@ def main():
         ckpt = os.path.join(path, f"chkpnt{args.iteration}.npz")
         model, _ = load_checkpoint_auto(ckpt)
         models.append(model)
-    merged = merge_level_models(models)
+    merged = merge_level_models(models, topk=args.topk)
 
     bg = (1.0, 1.0, 1.0) if args.white_background else (0.0, 0.0, 0.0)
     server = BackendRenderer(

@@ -20,6 +20,7 @@ def main():
     parser.add_argument("--resolution", type=int, default=-1)
     parser.add_argument("--output_dir", type=str, default="demo_frames")
     parser.add_argument("--clip_backend", type=str, default="auto")
+    parser.add_argument("--topk", type=int, default=4)
     args = parser.parse_args()
 
     import cv2
@@ -36,7 +37,7 @@ def main():
     models = [load_checkpoint_auto(
         os.path.join(p, f"chkpnt{args.iteration}.npz"))[0]
         for p in args.ckpt_paths]
-    merged = merge_level_models(models)
+    merged = merge_level_models(models, topk=args.topk)
 
     scene = Scene(args.source_path, model_path="", resolution=args.resolution,
                   shuffle=False)

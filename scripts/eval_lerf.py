@@ -42,6 +42,7 @@ def main():
                         help="run index in the model dir naming <scene>_<idx>_<level>")
     parser.add_argument("--mask_thresh", type=float, default=0.4)
     parser.add_argument("--levels", nargs="+", type=int, default=[1, 2, 3])
+    parser.add_argument("--topk", type=int, default=4)
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--resolution", type=int, default=-1)
     args = parser.parse_args()
@@ -67,7 +68,7 @@ def main():
             f"chkpnt{args.iteration}.npz")
         model, _ = load_checkpoint_auto(ckpt)
         models.append(model)
-    merged = lerf.merge_level_models(models)
+    merged = lerf.merge_level_models(models, topk=args.topk)
 
     scene = Scene(scene_dir, model_path="", resolution=args.resolution,
                   eval_split=False, shuffle=False)

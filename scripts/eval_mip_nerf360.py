@@ -19,6 +19,7 @@ def main():
     parser.add_argument("--index", type=int, default=1)
     parser.add_argument("--mask_thresh", type=float, default=0.4)
     parser.add_argument("--levels", nargs="+", type=int, default=[1, 2, 3])
+    parser.add_argument("--topk", type=int, default=4)
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--resolution", type=int, default=-1)
     args = parser.parse_args()
@@ -39,7 +40,7 @@ def main():
                             f"{args.dataset_name}_{args.index}_{level}",
                             f"chkpnt{args.iteration}.npz")
         models.append(load_checkpoint_auto(ckpt)[0])
-    merged = lerf.merge_level_models(models)
+    merged = lerf.merge_level_models(models, topk=args.topk)
 
     scene = Scene(scene_dir, model_path="", resolution=args.resolution,
                   eval_split=False, shuffle=False)

@@ -73,6 +73,7 @@ def main():
     bg = (1.0, 1.0, 1.0) if dataset.white_background else (0.0, 0.0, 0.0)
 
     first_iter = 0
+    resume_ckpt_path = None
     if opt.include_feature:
         if not args.start_checkpoint:
             raise ValueError("checkpoint missing!!!!!")
@@ -84,6 +85,8 @@ def main():
             first_iter = 0  # fresh feature phase from an RGB checkpoint
         else:
             first_iter = ckpt_iter
+            resume_ckpt_path = args.start_checkpoint  # same-phase resume:
+            # restore Adam moments once the optimizer template exists below.
     else:
         cap = int(np.asarray(scene.points).shape[0])
         model = gm.create_from_pcd(
@@ -93,15 +96,32 @@ def main():
             max_sh_degree=dataset.sh_degree,
             capacity=-(-cap // 256) * 256)
 
-    def save_outputs(iteration, model, phase):
+    def save_outputs(iteration, model, opt_state, phase):
         if iteration in args.save_iterations:
             out = os.path.join(args.model_path, "point_cloud",
                                f"iteration_{iteration}", "point_cloud.ply")
             mio.save_ply(model, out)
         if iteration in args.checkpoint_iterations or iteration == args.iterations:
+            # Persist Adam moments like the reference's capture()
+            # (gaussian_model.py:67-101) so resumes keep optimizer state.
             mio.save_checkpoint(
                 os.path.join(args.model_path, f"chkpnt{iteration}.npz"),
-                model, {}, iteration, extra={"phase": phase})
+                model, opt_state, iteration, extra={"phase": phase})
+
+    def restore_opt_state(model, make_params, make_opt):
+        """Same-phase resume: rebuild the optimizer template and load the
+        checkpoint's Adam moments into it (None when shapes mismatch)."""
+        if resume_ckpt_path is None:
+            return None
+        template = make_opt().init(make_params(model))
+        try:
+            _, opt_state, _, _ = mio.load_checkpoint(
+                resume_ckpt_path, model, template)
+            return opt_state
+        except Exception as e:
+            print(f"WARNING: could not restore optimizer state ({e}); "
+                  "resuming with fresh moments")
+            return None
 
     if opt.include_feature:
         # Codebook init from the 2D CLIP features (reference train.py:78-85).
@@ -115,34 +135,43 @@ def main():
                 opt.vq_layer_num, opt.codebook_size)
             model = model.replace(codebooks=books)
 
-        def on_iter(it, m, metrics):
+        def on_iter(it, m, opt_state, metrics):
             if it % 100 == 0:
                 print(f"Iter {it} Loss: {float(metrics['loss']):.6f}")
-            save_outputs(it, m, "feature")
+            save_outputs(it, m, opt_state, "feature")
 
-        model, _, logs = trainer.train_features(
+        init_opt_state = restore_opt_state(
+            model, trainer.feature_params,
+            lambda: trainer.make_feature_optimizer(opt))
+        model, final_opt_state, logs = trainer.train_features(
             model, cameras, opt, dataset.lf_path, dataset.feature_level,
             iterations=args.iterations, first_iter=first_iter,
             topk=args.topk, use_cos_loss=args.cos_loss,
             use_l1_loss=args.l1_loss, normalize=args.normalize,
             bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
-            max_entries=args.max_entries, feature_cache={},
+            max_entries=args.max_entries, accum_iter=args.accum_iter,
+            opt_state=init_opt_state, feature_cache={},
             on_iteration=on_iter)
     else:
-        def on_iter(it, m, metrics):
+        def on_iter(it, m, opt_state, metrics):
             if it % 100 == 0:
                 print(f"Iter {it} Loss: {float(metrics['loss']):.6f} "
                       f"live: {int(m.num_live)}")
-            save_outputs(it, m, "rgb")
+            save_outputs(it, m, opt_state, "rgb")
 
-        model, _, logs = trainer.train_rgb(
+        init_opt_state = restore_opt_state(
+            model, trainer.rgb_params,
+            lambda: trainer.make_rgb_optimizer(opt, model.spatial_lr_scale))
+        model, final_opt_state, logs = trainer.train_rgb(
             model, cameras, opt, scene.cameras_extent,
             iterations=args.iterations, first_iter=first_iter,
             bg_color=bg, white_background=dataset.white_background,
             seed=args.seed, tile_cap=args.tile_cap,
-            max_entries=args.max_entries, on_iteration=on_iter)
+            max_entries=args.max_entries, accum_iter=args.accum_iter,
+            opt_state=init_opt_state, on_iteration=on_iter)
 
-    save_outputs(args.iterations, model, "feature" if opt.include_feature else "rgb")
+    save_outputs(args.iterations, model, final_opt_state,
+                 "feature" if opt.include_feature else "rgb")
     print("\nTraining complete.")
 
 

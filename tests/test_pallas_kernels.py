@@ -211,3 +211,97 @@ class TestDenseCustomVJP:
         v_p, g_p = jax.value_and_grad(make_loss("pallas"))(feats)
         np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
         np.testing.assert_allclose(g_p, g_x, atol=3e-5)
+
+
+class TestCascadeBinning:
+    """Partition-cascade binning (ops/pallas_cascade.py) must reproduce the
+    sort+gather pipeline exactly: same per-tile entry multisets, same depth
+    order, same (depth-bits, gauss-id) tie-break, same exact-cull set."""
+
+    def _quick(self, n):
+        rng = np.random.default_rng(7)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        return jnp.asarray(qw), jnp.asarray(qi), L * K
+
+    @pytest.mark.parametrize("hw,seed", [((80, 112), 2), ((160, 288), 5)])
+    def test_quick_matches_xla_multiband(self, hw, seed):
+        """160x288 -> 18x10 tile grid: 2 bands x 3 supertile columns, so all
+        four cascade levels do real routing (not 1-bucket passthroughs)."""
+        h, w = hw
+        n = 900
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=seed)
+        qw, qi, qc = self._quick(n)
+        bg = jnp.asarray([0.3, 0.2, 0.1], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=qw, quick_indices=qi,
+            quick_channels=qc)
+        sx = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 17,
+            tile_cap=2048, tile_batch=4, impl="xla")
+        ox = rasterize(sx, jnp.asarray(means), ops, view, pm,
+                       jnp.zeros(3, jnp.float32), bg, **common)
+        oc = rasterize(sx._replace(impl="pallas", binning="cascade"),
+                       jnp.asarray(means), ops, view, pm,
+                       jnp.zeros(3, jnp.float32), bg, **common)
+        np.testing.assert_allclose(oc.rgb, ox.rgb, atol=3e-5)
+        np.testing.assert_allclose(oc.feature_map, ox.feature_map, atol=3e-5)
+        np.testing.assert_allclose(oc.final_transmittance,
+                                   ox.final_transmittance, atol=3e-5)
+
+    def test_segments_match_sort_binning(self):
+        """Tile segments (count + depth-ordered gaussian identity) must equal
+        the packed-key sort path's, including exact-cull decisions."""
+        from langsplatv2_tpu.ops import pallas_binning, pallas_cascade
+
+        n, h, w = 700, 96, 144  # grid 9x6: 1 band boundary in y, 2 in x
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=9)
+        gx, gy = 9, 6
+        num_tiles = gx * gy
+        tile, depth, gauss, _ = pallas_binning.expand_entries_pallas(
+            proj, gx, gy, 2 ** 13, opacities=ops[:, 0], exact_cull=True,
+            interpret=True)
+        hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        g_sorted, ts, tc, _ = pallas_binning.sorted_binning_from_keys(
+            hi, lo, num_tiles)
+        ts, tc = np.asarray(ts), np.asarray(tc)
+        g_sorted = np.asarray(g_sorted)
+
+        geom_rows, feat_rows = pallas_cascade.pack_cascade_rows(
+            proj, ops[:, 0], None, None)
+        entries, cts, ctc, tot, ovf = pallas_cascade.cascade_binning(
+            geom_rows, feat_rows, proj.depth, gx, gy, budget4=2 ** 13,
+            interpret=True)
+        entries, cts, ctc = np.asarray(entries), np.asarray(cts), np.asarray(ctc)
+        assert not bool(ovf)
+        assert int(tot) == tc.sum()
+        xyv = np.asarray(proj.xy)
+        for t in range(num_tiles):
+            assert ctc[t] == tc[t], (t, ctc[t], tc[t])
+            sort_xy = xyv[g_sorted[ts[t]:ts[t] + tc[t]]]
+            casc_x = entries[0, cts[t]:cts[t] + ctc[t]]
+            casc_y = entries[1, cts[t]:cts[t] + ctc[t]]
+            np.testing.assert_array_equal(sort_xy[:, 0], casc_x, err_msg=f"tile {t}")
+            np.testing.assert_array_equal(sort_xy[:, 1], casc_y, err_msg=f"tile {t}")
+
+    def test_budget_overflow_flag(self):
+        from langsplatv2_tpu.ops import pallas_cascade
+
+        n, h, w = 700, 96, 144
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=9)
+        geom_rows, feat_rows = pallas_cascade.pack_cascade_rows(
+            proj, ops[:, 0], None, None)
+        _, _, ctc, tot, ovf = pallas_cascade.cascade_binning(
+            geom_rows, feat_rows, proj.depth, 9, 6, budget4=512,
+            interpret=True)
+        assert bool(ovf)
+        assert int(tot) <= 512

@@ -145,6 +145,47 @@ class TestFeatureTraining:
         np.testing.assert_array_equal(np.asarray(model2.xyz), np.asarray(model.xyz))
         np.testing.assert_array_equal(np.asarray(model2.opacity), np.asarray(model.opacity))
 
+    def test_accum_iter_steps_every_n(self, rng):
+        """With accum_iter=N the optimizer applies only every Nth iteration
+        (reference train.py:261), summing grads in between like torch."""
+        n = 20
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        model = gm.create_from_pcd(
+            np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
+        model = gm.init_language_features(model, jax.random.PRNGKey(3), 1, 16)
+        gt_feat = np.zeros((512, H, W), np.float32)
+        gt_feat[0] = 1.0
+        gt_mask = np.ones((1, H, W), bool)
+
+        class LFCam(FakeCam):
+            def get_language_feature(self, lf_dir, level):
+                return gt_feat, gt_mask
+
+        fake = LFCam(cam, np.zeros((3, H, W), np.float32))
+        opt = make_opt(include_feature=True)
+        snapshots = []
+
+        def on_iter(it, m, opt_state, metrics):
+            snapshots.append((it, np.asarray(m.language_logits).copy()))
+
+        trainer.train_features(
+            model, [fake], opt, lf_dir="", feature_level=1, iterations=7,
+            topk=4, tile_cap=256, max_entries=2 ** 14, accum_iter=3,
+            feature_cache={}, on_iteration=on_iter)
+        logits = {it: v for it, v in snapshots}
+        base = np.asarray(model.language_logits)
+        # Params frozen until the first multiple of accum_iter...
+        np.testing.assert_array_equal(logits[1], base)
+        np.testing.assert_array_equal(logits[2], base)
+        # ...change exactly at iterations 3 and 6...
+        assert np.any(logits[3] != logits[2])
+        np.testing.assert_array_equal(logits[4], logits[3])
+        np.testing.assert_array_equal(logits[5], logits[3])
+        assert np.any(logits[6] != logits[5])
+        # ...and the final iteration never steps (train.py:261 quirk).
+        np.testing.assert_array_equal(logits[7], logits[6])
+
     def test_quick_matches_training_after_merge(self, rng):
         """Merged quick-render weights reproduce the dense top-k blend."""
         n = 30
