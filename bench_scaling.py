@@ -115,6 +115,38 @@ def main():
             "unit": "fraction_of_linear",
         }))
 
+    # Gaussian-sharded mode (binning all-to-all, parallel/gauss_sharded.py):
+    # Mip-NeRF360-scale scenes where Gaussians cannot be replicated.
+    from jax.sharding import Mesh
+    from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+
+    for c in [c for c in counts if c > 1 and N % c == 0]:
+        mesh = Mesh(np.asarray(jax.devices()[:c]), ("gauss",))
+
+        @jax.jit
+        def gframe(means, op, sc, rot, col):
+            rgb, fmap, final_t, total, dropped = rasterize_gauss_sharded(
+                mesh, settings, means, op, view, proj, campos, bg,
+                scales=sc, rotations=rot, colors_precomp=col,
+                pair_capacity=-(-ME // (c * max(c // 2, 1)) // 128) * 128)
+            return rgb, dropped
+
+        out = gframe(*args[:5])
+        _ = float(jnp.asarray(out[0][0, 0, 0]))
+        n_frames = 3 if on_cpu else 10
+        t0 = time.time()
+        for _ in range(n_frames):
+            out = gframe(*args[:5])
+        _ = float(jnp.asarray(out[0][0, 0, 0]))
+        dt = (time.time() - t0) / n_frames
+        print(json.dumps({
+            "metric": "gauss_sharded_render_rays_per_s",
+            "devices": c,
+            "value": round(H * W / dt / 1e6, 3),
+            "unit": "Mrays/s",
+            "dropped": int(out[1]),
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -89,6 +89,7 @@ def render(
 
     features = quick_weights = quick_indices = None
     quick_channels = 0
+    quick_train = False
     if quick_render:
         assert model.quick_weights is not None and model.quick_indices is not None, \
             "None Value Error"  # matches reference assert message intent
@@ -98,7 +99,15 @@ def render(
         n_levels = model.codebooks.shape[0]
         quick_channels = n_levels * model.codebooks.shape[1]
     elif include_feature:
-        features = model.get_render_weights(topk)
+        # Training mode: the dense sparsified field [N, L*K] and the
+        # compact top-k pairs scatter to the SAME blended map; the compact
+        # form keeps the per-entry state two w16 gathers on TPU
+        # (ops/pallas_train.py quick-train VJP) and its weight gradients
+        # chain to the logits through get_weights_and_indices.
+        quick_weights, quick_indices = model.get_weights_and_indices(topk)
+        L, K, _ = model.codebooks.shape
+        quick_channels = L * K
+        quick_train = True
 
     out = rasterize(
         settings,
@@ -118,6 +127,7 @@ def render(
         quick_indices=quick_indices,
         quick_channels=quick_channels,
         means2d_dummy=means2d_dummy,
+        quick_train=quick_train,
     )
     return RenderOutput(
         render=out.rgb,

@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .projection import ProjectedGaussians
 
 CHUNK = 2048         # entries per grid program (amortizes ~10us/program overhead)
-WINDOW = 640         # gaussian window columns per sub-step (128-aligned)
+WINDOW = 512         # gaussian window columns per sub-step (128-aligned);
+                     # ~390 gaussians own a 2048-entry chunk at bench density,
+                     # so 512 usually covers a chunk in one sweep step while
+                     # keeping the [CHUNK, WINDOW] ownership block 20% smaller
+                     # than the old 640
 ROW_W = 16           # packed row: x0 y0 rect_w offset gid depth rect_h grid_x
                      #             cx cy conic_a conic_b conic_c opacity pad pad
 BLOCK = 16           # pixel tile side (matches ops/projection.BLOCK)
@@ -72,10 +76,13 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
         cnt_end = off + n_tiles
         # Ownership: entry e belongs to window column j iff
         # off_j <= e < off_j + tiles_j. Columns already seen in an earlier
-        # window (end-clamp overlap) are masked so nothing double counts.
+        # window (end-clamp overlap) must not double count; folding that
+        # mask into `off` on the [1, WINDOW] row keeps the hot [CHUNK,
+        # WINDOW] block at two compares + one AND.
         col_idx = lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1) + win_start(w)
         fresh = col_idx >= (gs // LANE) * LANE + w * WINDOW
-        onehot = ((off <= e_ids) & (e_ids < cnt_end) & fresh).astype(jnp.float32)
+        off_m = jnp.where(fresh, off, 3.0e38)
+        onehot = ((off_m <= e_ids) & (e_ids < cnt_end)).astype(jnp.float32)
         # HIGHEST precision: the default TPU bf16 matmul (8-bit mantissa)
         # corrupts exact integer payloads like entry offsets and gauss ids.
         # (Precision.HIGH / bf16x3 would be exact for ints < 2^24 and half

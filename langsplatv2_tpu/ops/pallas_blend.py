@@ -4,32 +4,45 @@ TPU-native replacement for the CUDA per-tile blend loop (reference contract:
 SURVEY.md §2.3(a) stage 3, call site gaussian_renderer/__init__.py:108-119),
 designed for the hardware rather than translated:
 
-- One grid program per 16x16 pixel tile; the tile's depth-sorted entry
-  segment (contiguous columns of the field-major entry arrays, built by
-  ops/pallas_binning.py) is streamed HBM->VMEM in double-buffered async-DMA
-  chunks. Mosaic requires lane-dim DMA offsets to be 128-aligned, so each
-  chunk fetches the 128-aligned superset window and re-aligns on-chip with
-  one dynamic lane roll (entry arrays stay compact in HBM — no 128-lane
-  row padding).
-- Per chunk, the alpha matrix [CHUNK, P] is built on the VPU (conic
+- One grid program per batch of 16x16 pixel tiles; each tile's depth-sorted
+  entry segment (contiguous columns of the field-major entry arrays, built
+  by ops/pallas_binning.py or ops/pallas_cascade.py) is streamed HBM->VMEM
+  in double-buffered async-DMA chunks. Chunks are fetched from the segment's
+  128-ALIGNED base (Mosaic requires lane-dim DMA offsets to be 128-aligned),
+  so every window is exactly `chunk` lanes; the sub-128 misalignment `d` of
+  the segment start is handled purely by the validity mask — no oversized
+  fetch window, no data movement.
+- Per chunk, the alpha matrix [P, chunk] is built on the VPU (conic
   quadratic + exp), the front-to-back transmittance is an exclusive
   cumulative product along the chunk axis (log-depth shifted-multiply scan),
   and the weighted accumulation of RGB plus feature channels is ONE MXU
-  matmul: acc[P, C] += W[CHUNK, P]^T @ F[CHUNK, C].
+  matmul: acc[P, C] += W[P, chunk] @ F[chunk, C]^T.
 - The CUDA early-termination rule (pixel done when T*(1-alpha) < 1e-4)
   becomes a mask on W plus a whole-tile early exit of the chunk loop once
   every pixel has saturated — this keeps the average work per tile
   proportional to visible depth complexity instead of tile depth count.
 - Quick mode (the 450+ FPS merged path, eval_lerf.py:293-356) carries each
-  entry's top-k (weight, codebook index) pairs inside the packed 28-wide
-  entry row (weights exact f32, indices packed two-per-f32-slot) and expands
-  them into the dense channel row of F on-chip, so HBM never carries a
-  dense [N, 192] coefficient field and the whole entry state needs ONE
-  XLA pack gather.
+  entry's top-k (weight, codebook index) pairs inside the packed entry row
+  and expands them into the dense channel rows of F on-chip, so HBM never
+  carries a dense [N, 192] coefficient field.
 
-Inclusion semantics match ops/rasterize_tiles.py exactly (same masks, same
-T_EPS rule); that module remains the differentiable reference, and the
-parity test suite pins this kernel against it.
+Two row formats:
+
+- "f32" (parity): 16-wide f32 geometry rows (+16 feature rows when
+  `combined`, or a separate feature array). Exact f32 math, HIGHEST-
+  precision matmuls — bit-stable against the XLA reference blend
+  (ops/rasterize_tiles.py), which the parity test suite pins.
+- "fast16" (serving): ONE 16-wide row per entry packing the whole quick
+  state — xy f32, conic/opacity/rgb as bf16 pairs, 12 codebook indices as
+  exact base-256 triples, 12 weights as bf16 pairs — so the whole entry
+  state needs a single w16 XLA pack gather (row-count is what bounds XLA
+  gathers on TPU, ~140M rows/s regardless of width). In-kernel, the conic
+  quadratic moves to the MXU as a [P, 8] x [8, chunk] polynomial matmul in
+  tile-relative coordinates, the transmittance scan becomes a strict-lower-
+  triangular matmul, the channel expansion compares only each index's
+  64-wide codebook band, and the accumulate runs at default (bf16) MXU
+  precision. Output error vs the parity path is ~1e-3 relative — invisible
+  to relevancy queries; training and eval default to the parity path.
 """
 from __future__ import annotations
 
@@ -47,13 +60,37 @@ P = BLOCK * BLOCK            # pixels per tile
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
+POWER_TOL = 1e-5             # fast16: MXU-rounded power vs the exact <=0 test
 
 GEOM_W = 16                  # geometry row: x y ca cb cc op r g b [pairs*6] pad
-RGB_COL = 6                  # rgb lives at fields 6:9
+RGB_COL = 6                  # rgb lives at fields 6:9 (f32 format)
 FEAT_COL = GEOM_W            # feature channels start after the geometry prefix
 QUICK_PCOL = 9               # quick index pairs start here (geometry row)
 PAIR_BASE = 256.0            # two u8 indices per f32 slot: lo + 256 * hi
 LANE = 128                   # lane-dim DMA alignment
+
+# fast16 packed row layout (single 16-wide row per entry):
+#   0 x (f32)   1 y (f32)
+#   2 ca|cb     3 cc|op     4 r|g      5 b|-         (bf16 pairs, hi|lo)
+#   6:10  codebook-index triples i0 + 256*i1 + 65536*i2 (exact in f32)
+#   10:16 weight bf16 pairs w(2s)|w(2s+1)
+F16_CONIC = 2
+F16_IDX = 6
+F16_W = 10
+F16_RGB_COL = 0              # fast16 acc layout: rgb rows 0:3, channels 3:
+F16_FEAT_COL = 3
+LEVEL_BAND = 64              # codebook band width for banded expansion
+
+
+def _unpack_hi(v):
+    """High bf16 of a packed f32 pair, as f32 (exact bit extension)."""
+    u = lax.bitcast_convert_type(v, jnp.uint32)
+    return lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _unpack_lo(v):
+    u = lax.bitcast_convert_type(v, jnp.uint32)
+    return lax.bitcast_convert_type(u << 16, jnp.float32)
 
 
 def _exclusive_cumprod_lanes(one_minus: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -89,10 +126,12 @@ def _blend_kernel(
     topk: int,
     tile_batch: int,
     combined: bool,       # entry_geom is [32, E]: geom rows 0:16 + feat 16:32
+    rowfmt: str,          # "f32" | "fast16"
+    banded: bool,         # fast16: indices respect 64-wide level bands
 ):
     i = pl.program_id(0)
-    cw = chunk + LANE  # fetched window (aligned superset of the chunk)
-    has_feat_dma = mode in ("dense", "quick") and not combined
+    fast = rowfmt == "fast16"
+    has_feat_dma = mode in ("dense", "quick") and not combined and not fast
 
     def tile_info(k):
         idx = i * tile_batch + k
@@ -101,19 +140,38 @@ def _blend_kernel(
         count = jnp.where(tid < num_tiles, count_ref[idx], 0)
         return start, count, tid
 
-    def aligned(start, c):
-        al = ((start + c * chunk) // LANE) * LANE
-        return pl.multiple_of(al, LANE)
+    def base_al(start):
+        return pl.multiple_of((start // LANE) * LANE, LANE)
 
     def geom_dma(slot, start, c):
+        off = pl.multiple_of(base_al(start) + c * chunk, LANE)
         return pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(aligned(start, c), cw)],
-            geom_buf.at[slot], sems.at[slot, 0])
+            geom_hbm.at[:, pl.ds(off, chunk)], geom_buf.at[slot],
+            sems.at[slot, 0])
 
     def feat_dma(slot, start, c):
+        off = pl.multiple_of(base_al(start) + c * chunk, LANE)
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(aligned(start, c), cw)],
-            feat_buf.at[slot], sems.at[slot, 1])
+            feat_hbm.at[:, pl.ds(off, chunk)], feat_buf.at[slot],
+            sems.at[slot, 1])
+
+    if fast:
+        # Tile-relative pixel polynomial basis [P, 8] (identical for every
+        # tile): [px^2, py^2, px*py, px, py, 1, 0, 0]. The conic quadratic
+        # power = Ppix @ C becomes one small HIGHEST-precision MXU matmul;
+        # tile-relative coordinates keep every term O(q), so f32 rounding
+        # stays ~1e-6 (absolute pixel coords would cancel ~1e6 terms).
+        pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        pxr = (pix % BLOCK).astype(jnp.float32)
+        pyr = (pix // BLOCK).astype(jnp.float32)
+        ppix = jnp.concatenate(
+            [pxr * pxr, pyr * pyr, pxr * pyr, pxr, pyr,
+             jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 2), jnp.float32)],
+            axis=1)                                        # [P, 8]
+        # Strict lower-triangular ones: cum[p, i] = sum_{j<i} lm[p, j].
+        lt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+              < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+              ).astype(jnp.float32)
 
     # Program prologue: fetch the first tile's first chunk. Each later
     # tile's chunk 0 is prefetched while its predecessor still computes;
@@ -128,7 +186,8 @@ def _blend_kernel(
 
     def process_tile(k, carry):
         start, count, tid = tile_info(k)
-        n_chunks = pl.cdiv(count, chunk)
+        d = start - base_al(start)           # sub-128 misalignment, in [0, 128)
+        n_chunks = pl.cdiv(d + count, chunk)
         base = (k % 2) * 2
 
         # Prefetch the NEXT tile's first chunk into the other slot pair
@@ -144,12 +203,13 @@ def _blend_kernel(
                 if has_feat_dma:
                     feat_dma(nbase, nstart, 0).start()
 
-        # Pixel centers of this tile, pixels on the sublane axis: [P, 1].
         tx = (tid % grid_x).astype(jnp.float32)
         ty = (tid // grid_x).astype(jnp.float32)
-        pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
-        py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+        if not fast:
+            # Pixel centers of this tile, pixels on the sublane axis: [P, 1].
+            pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
+            py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
 
         acc[...] = jnp.zeros_like(acc)
         t_carry[...] = jnp.ones_like(t_carry)  # product over INCLUDED
@@ -165,44 +225,76 @@ def _blend_kernel(
                     feat_dma(base + (c + 1) % 2, start, c + 1).start()
 
             geom_dma(slot, start, c).wait()
-            # Field-major window [W, cw]; entries live on lanes
-            # [d, d + chunk) — alignment is handled by masks, not data
-            # movement (no roll, no transpose). Out-of-range lanes can hold
-            # garbage (cascade segments are not zero-padded); zero them so
-            # the accumulate matmul never sees 0 * NaN.
-            d = (start + c * chunk) - aligned(start, c)   # in [0, LANE)
-            lane = lax.broadcasted_iota(jnp.int32, (1, cw), 1)
-            remaining = jnp.minimum(count - c * chunk, chunk)
-            in_range = (lane >= d) & (lane < d + remaining)
+            # Entries live on lanes [d, d + count) of the aligned stream;
+            # everything else in the window (the previous segment's tail,
+            # padding, cascade garbage) is masked to zero rows so the
+            # accumulate matmul never sees 0 * NaN.
+            lane = lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            rel = lane + c * chunk
+            in_range = (rel >= d) & (rel < d + count)
             g_all = jnp.where(in_range, geom_buf[slot], 0.0)
             g = g_all[:GEOM_W] if combined else g_all
             x = g[0:1, :]
             y = g[1:2, :]
-            ca = g[2:3, :]
-            cb = g[3:4, :]
-            cc = g[4:5, :]
-            op = g[5:6, :]
 
-            dx = px - x                             # [P, cw]
-            dy = py - y
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            if fast:
+                ca = _unpack_hi(g[F16_CONIC:F16_CONIC + 1, :])
+                cb = _unpack_lo(g[F16_CONIC:F16_CONIC + 1, :])
+                cc = _unpack_hi(g[F16_CONIC + 1:F16_CONIC + 2, :])
+                op = _unpack_lo(g[F16_CONIC + 1:F16_CONIC + 2, :])
+                # Conic quadratic on the MXU, tile-relative.
+                xr = x - tx * BLOCK
+                yr = y - ty * BLOCK
+                coeffs = jnp.concatenate([
+                    -0.5 * ca,
+                    -0.5 * cc,
+                    -cb,
+                    ca * xr + cb * yr,
+                    cb * xr + cc * yr,
+                    -0.5 * ca * xr * xr - cb * xr * yr - 0.5 * cc * yr * yr,
+                    jnp.zeros((2, chunk), jnp.float32),
+                ], axis=0)                                   # [8, chunk]
+                power = lax.dot_general(
+                    ppix, coeffs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)         # [P, chunk]
+                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                valid = in_range & (power <= POWER_TOL) & (alpha >= ALPHA_MIN)
+            else:
+                ca = g[2:3, :]
+                cb = g[3:4, :]
+                cc = g[4:5, :]
+                op = g[5:6, :]
+                dx = px - x                             # [P, chunk]
+                dy = py - y
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
             alpha = jnp.where(valid, alpha, 0.0)
 
-            one_minus = 1.0 - alpha
             # The include test and the blend weights use the transmittance
             # over ALL prior valid alphas (matching the XLA reference
             # exactly); the final-T output multiplies only the included
             # ones (CUDA semantics — the first epsilon failure permanently
             # terminates a pixel, so both agree on every included entry).
-            t_excl = t_test[...] * _exclusive_cumprod_lanes(one_minus, cw)
-            include = valid & (t_excl * one_minus >= T_EPS)
-            w = jnp.where(include, alpha * t_excl, 0.0)   # [P, cw]
+            if fast:
+                # log-domain scan as one strict-lower-triangular matmul
+                # (default/bf16 MXU pass; T error ~0.4% relative — the
+                # fast-mode contract).
+                lm = jnp.log1p(-alpha)                       # [P, chunk]
+                cum = lax.dot_general(
+                    lm, lt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # exclusive sums
+                t_excl = t_test[...] * jnp.exp(cum)
+            else:
+                one_minus = 1.0 - alpha
+                t_excl = t_test[...] * _exclusive_cumprod_lanes(
+                    one_minus, chunk)
+            include = valid & (t_excl * (1.0 - alpha) >= T_EPS)
+            w = jnp.where(include, alpha * t_excl, 0.0)      # [P, chunk]
 
-            # Feature rows F^T [acc_width, cw]: the geometry rows carry rgb
-            # at rows 6:9; channels start at FEAT_COL. Contraction happens
-            # on the lane (entry) axis for both operands — no transposes.
+            # Feature rows F^T [acc_width, chunk]; contraction happens on
+            # the lane (entry) axis for both operands — no transposes.
             if mode == "rgb":
                 f_rows = g
             elif mode == "dense":
@@ -210,16 +302,56 @@ def _blend_kernel(
                 fb = jnp.where(in_range, feat_buf[slot], 0.0)
                 f_rows = jnp.concatenate(
                     [g, fb[: acc_width - FEAT_COL, :]], axis=0)
-            else:  # quick: expand packed (weights, idx pairs) on-chip
+            elif fast:                                       # quick fast16
+                r_row = _unpack_hi(g[4:5, :])
+                g_row = _unpack_lo(g[4:5, :])
+                b_row = _unpack_hi(g[5:6, :])
+                ws = []
+                for s in range(6):
+                    ws.append(_unpack_hi(g[F16_W + s:F16_W + s + 1, :]))
+                    ws.append(_unpack_lo(g[F16_W + s:F16_W + s + 1, :]))
+                idx = []
+                for t in range(4):
+                    v = g[F16_IDX + t:F16_IDX + t + 1, :]
+                    i2 = jnp.floor(v * (1.0 / 65536.0))
+                    r = v - 65536.0 * i2
+                    i1 = jnp.floor(r * (1.0 / 256.0))
+                    idx += [r - 256.0 * i1, i1, i2]
+                nch = acc_width - F16_FEAT_COL
+                if banded:
+                    # Merged quick models give level l the index range
+                    # [64l, 64(l+1)) (eval_lerf.py:333-348): compare each
+                    # index only against its own 64-wide band.
+                    n_levels = nch // LEVEL_BAND
+                    per_level = topk // n_levels
+                    ch = lax.broadcasted_iota(
+                        jnp.int32, (LEVEL_BAND, 1), 0).astype(jnp.float32)
+                    bands = []
+                    for lvl in range(n_levels):
+                        b = jnp.zeros((LEVEL_BAND, chunk), jnp.float32)
+                        for j in range(lvl * per_level, (lvl + 1) * per_level):
+                            local = idx[j] - float(LEVEL_BAND * lvl)
+                            b = b + ws[j] * (local == ch).astype(jnp.float32)
+                        bands.append(b)
+                    dense = jnp.concatenate(bands, axis=0)
+                else:
+                    ch = lax.broadcasted_iota(
+                        jnp.int32, (nch, 1), 0).astype(jnp.float32)
+                    dense = jnp.zeros((nch, chunk), jnp.float32)
+                    for j in range(topk):
+                        dense = dense + ws[j] * (idx[j] == ch).astype(
+                            jnp.float32)
+                f_rows = jnp.concatenate([r_row, g_row, b_row, dense], axis=0)
+            else:  # quick f32: expand packed (weights, idx pairs) on-chip
                 if combined:
-                    fb = g_all[GEOM_W:GEOM_W + 16]  # [16, cw]: w0..w11
+                    fb = g_all[GEOM_W:GEOM_W + 16]  # [16, chunk]: w0..w11
                 else:
                     feat_dma(slot, start, c).wait()
-                    fb = jnp.where(in_range, feat_buf[slot], 0.0)  # w0..w11
+                    fb = jnp.where(in_range, feat_buf[slot], 0.0)
                 ch = lax.broadcasted_iota(
                     jnp.int32, (acc_width - FEAT_COL, 1), 0
                 ).astype(jnp.float32)
-                dense = jnp.zeros((acc_width - FEAT_COL, cw), jnp.float32)
+                dense = jnp.zeros((acc_width - FEAT_COL, chunk), jnp.float32)
                 for j in range(topk):
                     wj = fb[j:j + 1, :]
                     pair = g[QUICK_PCOL + j // 2:QUICK_PCOL + j // 2 + 1, :]
@@ -228,18 +360,28 @@ def _blend_kernel(
                     dense = dense + wj * (ij == ch).astype(jnp.float32)
                 f_rows = jnp.concatenate([g[:FEAT_COL, :], dense], axis=0)
 
-            # HIGHEST precision (f32 via bf16 passes) for parity with the
-            # XLA reference blend; the default bf16 pass loses ~1e-3.
-            acc[...] += lax.dot_general(
-                w, f_rows, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)          # [P, acc_width]
-            # reduce_prod is unsupported in Pallas TPU; exp-sum-log1p
-            # matches the XLA reference's log1p(-alpha) accumulation.
-            log_v = jnp.log1p(-alpha)
-            t_carry[...] *= jnp.exp(jnp.sum(jnp.where(include, log_v, 0.0),
-                                            axis=1, keepdims=True))
-            t_test[...] *= jnp.exp(jnp.sum(log_v, axis=1, keepdims=True))
+            if fast:
+                # Default (bf16) MXU pass: ~1e-3 relative — the serving
+                # contract; parity mode keeps HIGHEST.
+                acc[...] += lax.dot_general(
+                    w, f_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t_carry[...] *= jnp.exp(jnp.sum(
+                    jnp.where(include, lm, 0.0), axis=1, keepdims=True))
+                # Inclusive total = exclusive sum at the last lane + its lm.
+                t_test[...] *= jnp.exp(cum[:, chunk - 1:chunk]
+                                       + lm[:, chunk - 1:chunk])
+            else:
+                acc[...] += lax.dot_general(
+                    w, f_rows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)          # [P, acc_width]
+                # reduce_prod is unsupported in Pallas TPU; exp-sum-log1p
+                # matches the XLA reference's log1p(-alpha) accumulation.
+                log_v = jnp.log1p(-alpha)
+                t_carry[...] *= jnp.exp(jnp.sum(
+                    jnp.where(include, log_v, 0.0), axis=1, keepdims=True))
+                t_test[...] *= jnp.exp(jnp.sum(log_v, axis=1, keepdims=True))
 
         def cond(c):
             return (c < n_chunks) & (jnp.max(t_test[...]) >= T_EPS)
@@ -265,7 +407,8 @@ def _blend_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
-                     "chunk", "tile_batch", "combined", "interpret"),
+                     "chunk", "tile_batch", "combined", "rowfmt", "banded",
+                     "interpret"),
 )
 def blend_tiles_pallas(
     entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] f32 field-major
@@ -283,23 +426,36 @@ def blend_tiles_pallas(
     chunk: int = 256,
     tile_batch: int = 8,        # tiles per grid program (overhead amortization)
     combined: bool = False,     # entry_geom is [32, E]: geom + feat rows
+    rowfmt: str = "f32",        # "f32" (parity) | "fast16" (packed serving)
+    banded: bool = False,       # fast16: level-banded channel expansion
     interpret: bool = False,
 ):
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
 
     Entry arrays are field-major [W, E_pad] with E_pad large enough that any
-    [128-aligned start, chunk + 128) window stays in bounds (to_field_major).
-    With `combined`, geometry and the 16 feature rows travel in ONE [32, E]
-    array (the cascade-binning layout) and a single DMA per chunk.
+    [128-aligned start, + n_chunks*chunk) window stays in bounds
+    (to_field_major). With `combined`, geometry and the 16 feature rows
+    travel in ONE [32, E] array (the cascade-binning layout); with
+    rowfmt="fast16", the WHOLE quick entry state travels in one packed
+    [16, E] array (pack_fast16_rows) and `entry_feat` is ignored.
     """
     assert not (combined and mode == "dense"), \
         "combined rows carry only 16 feature rows"
+    fast = rowfmt == "fast16"
+    assert not fast or mode == "quick", "fast16 is a quick-mode format"
+    if banded:
+        assert out_channels % LEVEL_BAND == 0
+        assert topk % (out_channels // LEVEL_BAND) == 0
     n_local = tile_start.shape[0]
     num_tiles = grid_x * grid_y
-    acc_width = FEAT_COL + max(out_channels, 1) if mode != "rgb" else GEOM_W
+    if mode == "rgb":
+        acc_width = GEOM_W
+    elif fast:
+        acc_width = F16_FEAT_COL + out_channels
+    else:
+        acc_width = FEAT_COL + max(out_channels, 1)
     geom_w = entry_geom.shape[0]
     feat_w = entry_feat.shape[0]
-    cw = chunk + LANE
 
     # Pad the tile arrays to a whole number of programs; padding tiles are
     # dummies (sentinel id -> zero work, zero output).
@@ -314,7 +470,7 @@ def blend_tiles_pallas(
         _blend_kernel,
         chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
         acc_width=acc_width, topk=topk, tile_batch=tile_batch,
-        combined=combined,
+        combined=combined, rowfmt=rowfmt, banded=banded,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -331,8 +487,8 @@ def blend_tiles_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, geom_w, cw), jnp.float32),
-            pltpu.VMEM((4, feat_w, cw), jnp.float32),
+            pltpu.VMEM((4, geom_w, chunk), jnp.float32),
+            pltpu.VMEM((4, feat_w, chunk), jnp.float32),
             pltpu.VMEM((P, acc_width), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
@@ -353,8 +509,15 @@ def blend_tiles_pallas(
     acc_t = acc_t[:n_local]
     t_t = t_t[:n_local]
     final_t = t_t[:, :, 0]                                   # [T, P]
-    rgb = acc_t[:, :, RGB_COL:RGB_COL + 3] + final_t[..., None] * bg[None, None, :]
-    feat = acc_t[:, :, FEAT_COL:FEAT_COL + out_channels] if mode != "rgb" else None
+    rgb_col = F16_RGB_COL if fast else RGB_COL
+    rgb = (acc_t[:, :, rgb_col:rgb_col + 3]
+           + final_t[..., None] * bg[None, None, :])
+    if mode == "rgb":
+        feat = None
+    elif fast:
+        feat = acc_t[:, :, F16_FEAT_COL:F16_FEAT_COL + out_channels]
+    else:
+        feat = acc_t[:, :, FEAT_COL:FEAT_COL + out_channels]
     return rgb, feat, final_t
 
 
@@ -368,8 +531,9 @@ def pack_gaussian_rows(xy, conic, opacities, colors):
 
 
 def pack_quick_rows(xy, conic, opacities, colors, quick_weights, quick_indices):
-    """Per-gaussian packed quick state as TWO 16-wide row sets (one w32
-    gather is ~30% slower than two fused w16 gathers on v5e):
+    """Per-gaussian packed quick state as TWO 16-wide row sets (exact f32
+    parity layout; one w32 gather is ~30% slower than two fused w16 gathers
+    on v5e):
 
     geometry rows [N, 16]: x y conic(3) op rgb(3) idx-pairs(topk/2) pad
     weight rows  [N, 16]: topk f32 weights + pad
@@ -388,9 +552,51 @@ def pack_quick_rows(xy, conic, opacities, colors, quick_weights, quick_indices):
     return geom, wrows
 
 
+def _pack2bf16(a, b):
+    """Pack two values as bf16 halves of one f32 (bit container): high 16
+    bits carry bf16(a), low 16 carry bf16(b). Gather/transpose/pad/select
+    are all bit-preserving, so the pattern survives the XLA pack path."""
+    au = lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+    bu = lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.uint32)
+    packed = (au & jnp.uint32(0xFFFF0000)) | (bu >> 16)
+    return lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def pack_fast16_rows(xy, conic, opacities, colors, quick_weights,
+                     quick_indices):
+    """Per-gaussian packed quick state as ONE 16-wide row (fast16 layout —
+    see module doc). XLA row gathers are row-count-bound on TPU, so halving
+    the row count halves the dominant binning stage; the bf16 payload halves
+    are the fast-mode precision contract (~1e-3)."""
+    n, s = quick_weights.shape
+    assert s <= 12 and s % 2 == 0
+    rgb = colors if colors is not None else jnp.zeros((n, 3), jnp.float32)
+    qi = quick_indices.astype(jnp.float32)
+    qi = jnp.concatenate([qi, jnp.zeros((n, 12 - s), jnp.float32)], axis=1)
+    qw = jnp.concatenate(
+        [quick_weights, jnp.zeros((n, 12 - s), jnp.float32)], axis=1)
+    # Base-256 index triples: i0 + 256*i1 + 65536*i2 <= 191*65793 < 2^24,
+    # exact in f32.
+    triples = (qi[:, 0::3] + 256.0 * qi[:, 1::3]
+               + 65536.0 * qi[:, 2::3])                       # [N, 4]
+    cols = [
+        xy[:, 0:1], xy[:, 1:2],
+        _pack2bf16(conic[:, 0], conic[:, 1])[:, None],
+        _pack2bf16(conic[:, 2], opacities)[:, None],
+        _pack2bf16(rgb[:, 0], rgb[:, 1])[:, None],
+        _pack2bf16(rgb[:, 2], jnp.zeros((n,), jnp.float32))[:, None],
+        triples,
+    ]
+    for s2 in range(6):
+        cols.append(_pack2bf16(qw[:, 2 * s2], qw[:, 2 * s2 + 1])[:, None])
+    return jnp.concatenate(cols, axis=1)                      # [N, 16]
+
+
 def to_field_major(entries: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """[E, W] entry rows -> field-major [W, E_pad] padded so every
-    128-aligned [al, chunk + 128) lane window stays in bounds."""
+    128-aligned [al, + n_chunks*chunk) blend window stays in bounds."""
     e = entries.shape[0]
     target = -(-e // LANE) * LANE + chunk + LANE
     return jnp.pad(entries, ((0, target - e), (0, 0))).T

@@ -343,6 +343,151 @@ def _dense_vjp_bwd(settings, res, cotangents):
 rasterize_dense_vjp.defvjp(_dense_vjp_fwd, _dense_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# custom-VJP QUICK-representation rasterization (feature-phase training)
+#
+# The dense path gathers a [E, L*K] feature row per entry — a wide-row XLA
+# gather that falls off the measured w>=40 performance cliff (~20x slower
+# per row than w16). But the training coefficients ARE top-k sparse: packing
+# the (weight, index) pairs into the 16-wide quick rows (pallas_blend
+# layout) makes the whole per-entry state two fused w16 gathers, and the
+# blend kernel expands the channels on-chip. The blended map is EXACTLY the
+# dense path's (same scatter), and the backward stays the dense W-replay
+# kernel (it never reads features) — only the final reduction changes:
+# per-gaussian dense gradients are sliced back to the top-k lanes with
+# take_along_axis, which is the exact VJP of the scatter.
+# ---------------------------------------------------------------------------
+
+def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
+                    campos, bg, scales, rotations, shs, colors_precomp,
+                    quick_weights, quick_indices, quick_channels: int):
+    from . import pallas_binning, projection, rasterize_tiles
+    from .rasterize import _pallas_supported
+
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    interp = not _pallas_supported()
+    chunk = 256
+
+    proj = projection.preprocess(
+        means3d, scales, rotations, None, shs, colors_precomp,
+        viewmatrix, projmatrix, campos,
+        settings.tanfovx, settings.tanfovy, W, H,
+        settings.sh_degree, settings.scale_modifier,
+        opacities=opacities[:, 0],
+    )
+    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+        jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
+        settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
+        exact_cull=True, interpret=interp)
+    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    g_sorted, tile_start, tile_count, tile_sorted = (
+        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+
+    rows, wrows = pallas_blend.pack_quick_rows(
+        proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+        lax.stop_gradient(quick_weights), quick_indices)
+    entry_geom = pallas_blend.to_field_major(
+        lax.stop_gradient(rows)[g_sorted], chunk)
+    entry_feat = pallas_blend.to_field_major(
+        lax.stop_gradient(wrows)[g_sorted], chunk)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+        entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
+        grid_x=grid_x, grid_y=grid_y, mode="quick",
+        out_channels=quick_channels, topk=quick_weights.shape[1],
+        chunk=chunk, interpret=interp)
+
+    rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+    feat = rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+    final_t = rasterize_tiles.tiles_to_image(
+        t_t[..., None], grid_x, grid_y, H, W)[0]
+
+    outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total)
+    residuals = (entry_geom, tile_start, tile_count, g_sorted,
+                 tile_sorted < num_tiles, quick_indices)
+    return outputs, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def rasterize_quick_train_vjp(settings, quick_channels, means3d, opacities,
+                              viewmatrix, projmatrix, campos, bg, scales,
+                              rotations, shs, colors_precomp, quick_weights,
+                              quick_indices):
+    """Quick-mode rasterization with a Pallas forward AND backward.
+
+    FEATURE-PHASE CONTRACT (reference train.py:212-259): geometry frozen;
+    the VJP returns exactly d(quick_weights) and ZERO for everything else
+    (quick_indices are top-k selections — piecewise-constant, no gradient,
+    matching the dense path's detached top-k mask)."""
+    return _quick_fwd_impl(settings, means3d, opacities, viewmatrix,
+                           projmatrix, campos, bg, scales, rotations, shs,
+                           colors_precomp, quick_weights, quick_indices,
+                           quick_channels)[0]
+
+
+def rasterize_quick_train(settings, means3d, opacities, viewmatrix,
+                          projmatrix, campos, bg, scales, rotations, shs,
+                          colors_precomp, quick_weights, quick_indices,
+                          quick_channels: int):
+    """Keyword-friendly wrapper (nondiff args must lead in the custom_vjp)."""
+    return rasterize_quick_train_vjp(
+        settings, quick_channels, means3d, opacities, viewmatrix, projmatrix,
+        campos, bg, scales, rotations, shs, colors_precomp, quick_weights,
+        quick_indices)
+
+
+def _quick_vjp_fwd(settings, quick_channels, means3d, opacities, viewmatrix,
+                   projmatrix, campos, bg, scales, rotations, shs,
+                   colors_precomp, quick_weights, quick_indices):
+    outputs, residuals = _quick_fwd_impl(
+        settings, means3d, opacities, viewmatrix, projmatrix, campos, bg,
+        scales, rotations, shs, colors_precomp, quick_weights, quick_indices,
+        quick_channels)
+    args = (means3d, opacities, viewmatrix, projmatrix, campos, bg,
+            scales, rotations, shs, colors_precomp, quick_weights,
+            quick_indices)
+    return outputs, (residuals, args)
+
+
+def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
+    from .rasterize import _pallas_supported
+
+    (entry_geom, tile_start, tile_count, g_sorted, entry_valid,
+     quick_indices), args = res
+    g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot = cotangents
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    feat_k = g_feat.shape[0]
+    n = quick_indices.shape[0]
+    interp = not _pallas_supported()
+
+    g_tiles = _image_to_tiles(g_feat, grid_x, grid_y)       # [T, P, K]
+    tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    dfeat_entries = feature_grads_pallas(
+        entry_geom, tile_start, tile_count, tile_ids, g_tiles,
+        grid_x=grid_x, grid_y=grid_y, feat_k=feat_k, interpret=interp)
+    dfeat_entries = jnp.where(
+        jnp.pad(entry_valid, (0, dfeat_entries.shape[0] - entry_valid.shape[0])
+                )[:, None],
+        dfeat_entries[:, :feat_k], 0.0)
+    e = g_sorted.shape[0]
+    d_dense = jnp.zeros((n, feat_k), jnp.float32).at[g_sorted].add(
+        dfeat_entries[:e])
+    # VJP of the on-chip scatter: each top-k lane's gradient is the dense
+    # gradient at its channel.
+    d_qw = jnp.take_along_axis(d_dense, quick_indices.astype(jnp.int32),
+                               axis=1)
+
+    zeros = [None if a is None else jnp.zeros_like(a) for a in args]
+    zeros[-2] = d_qw
+    return tuple(zeros)
+
+
+rasterize_quick_train_vjp.defvjp(_quick_vjp_fwd, _quick_vjp_bwd)
+
+
 def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
     """[C, H, W] -> [num_tiles, P, C], zero-padding to the tile grid."""
     C, H, W = img.shape

@@ -92,25 +92,24 @@ def project_gaussians(
     tx = jnp.clip(txtz, -limx, limx) * tz
     ty = jnp.clip(tytz, -limy, limy) * tz
 
-    zeros = jnp.zeros_like(tz)
-    # J rows: d(pix)/d(view). [N, 2, 3]
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zeros, -focal_x * tx / (tz * tz)], axis=-1),
-            jnp.stack([zeros, focal_y / tz, -focal_y * ty / (tz * tz)], axis=-1),
-        ],
-        axis=-2,
-    )
+    # J rows: d(pix)/d(view) — [fx/tz, 0, -fx tx/tz^2] and
+    # [0, fy/tz, -fy ty/tz^2]. Fold M = J W (W = world->view rotation) into
+    # two [N, 3] row vectors and contract cov3d with them directly: the
+    # [N, 3, 3] sigma_view/cov2d einsum intermediates of the naive EWA chain
+    # cost HBM round-trips at runtime and minutes of XLA fusion search at
+    # compile on this backend.
     W = viewmatrix[:3, :3].T  # world->view rotation (math convention)
-    # Sigma_view = W Sigma W^T ; cov2d = J Sigma_view J^T
-    sigma_view = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, sigma_view, J)
-    cov2d = cov2d.at[:, 0, 0].add(0.3)
-    cov2d = cov2d.at[:, 1, 1].add(0.3)
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    j0 = (focal_x / tz)[:, None]
+    j2 = (-focal_x * tx / (tz * tz))[:, None]
+    k1 = (focal_y / tz)[:, None]
+    k2 = (-focal_y * ty / (tz * tz))[:, None]
+    m0 = j0 * W[0][None, :] + j2 * W[2][None, :]      # [N, 3]
+    m1 = k1 * W[1][None, :] + k2 * W[2][None, :]
+    sm0 = jnp.einsum("nij,nj->ni", cov3d, m0)
+    sm1 = jnp.einsum("nij,nj->ni", cov3d, m1)
+    a = jnp.sum(m0 * sm0, axis=-1) + 0.3
+    b = jnp.sum(m0 * sm1, axis=-1)
+    c = jnp.sum(m1 * sm1, axis=-1) + 0.3
     det = a * c - b * b
     det_ok = det != 0.0
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)

@@ -62,10 +62,22 @@ class RasterizeSettings(NamedTuple):
     # "pallas" (streaming TPU kernels, forward/inference),
     # "auto" (pallas for quick-mode inference, xla otherwise).
     impl: str = "auto"
-    # Pallas binning strategy: "cascade" (depth-sort N gaussians + streaming
-    # partition passes — no global entry sort, no random entry gather) or
-    # "sort" (entry expansion + packed-key sort + XLA pack gather).
-    binning: str = "cascade"
+    # Pallas binning strategy: "sort" (entry expansion + packed-key sort +
+    # XLA pack gather — the measured-fastest path on v5e) or "cascade"
+    # (depth-sort N gaussians + streaming partition passes; order-preserving
+    # and gather-free, but the per-append cost of its partition passes loses
+    # to the XLA gather at bench scale — kept as a parity cross-check and as
+    # the basis of the gaussian-sharded exchange).
+    binning: str = "sort"
+    # Numerics of the Pallas quick path: "f32" (parity with the XLA
+    # reference blend) or "bf16" (fast16 packed rows: ONE w16 entry gather,
+    # bf16 MXU blend — ~1e-3 relative output error, for serving/query).
+    precision: str = "f32"
+    # When False, the quick-mode feature map is returned in tile layout
+    # [T, P, C] (T row-major tiles, P=256 pixels) instead of [C, H, W]:
+    # relevancy queries contract the channel axis anyway, so skipping the
+    # [C, H, W] scatter saves a full HBM rewrite of the 192-channel map.
+    assemble: bool = True
 
     @property
     def grid_x(self) -> int:
@@ -103,11 +115,33 @@ def rasterize(
     quick_indices: jnp.ndarray | None = None,     # [N, S] (float or int)
     quick_channels: int = 192,
     means2d_dummy: jnp.ndarray | None = None,     # [N, 2] NDC-grad carrier
+    quick_train: bool = False,  # quick args are a TRAINING representation:
+                                # d(quick_weights) must flow (feature phase)
 ) -> RasterizeOutput:
     H, W = settings.image_height, settings.image_width
 
-    use_pallas = settings.impl == "pallas" or (
-        settings.impl == "auto" and quick_weights is not None)
+    if quick_train and quick_weights is not None:
+        # Feature-phase training via the top-k representation: on TPU the
+        # Pallas quick forward + W-replay backward (pallas_train.py —
+        # avoids the dense path's wide-row feature gather); elsewhere the
+        # XLA one-hot einsum below is differentiable as-is.
+        route_pallas = settings.impl == "pallas" or (
+            settings.impl == "auto" and _pallas_supported())
+        if route_pallas and cov3d_precomp is None:
+            from .pallas_train import rasterize_quick_train
+
+            rgb, feat, final_t, radii, mtc, tot = rasterize_quick_train(
+                settings, means3d, opacities, viewmatrix, projmatrix,
+                campos, bg, scales, rotations, shs, colors_precomp,
+                quick_weights, quick_indices, quick_channels)
+            return RasterizeOutput(
+                rgb=rgb, feature_map=feat, radii=radii,
+                final_transmittance=final_t, max_tile_count=mtc,
+                total_entries=tot)
+        use_pallas = False
+    else:
+        use_pallas = settings.impl == "pallas" or (
+            settings.impl == "auto" and quick_weights is not None)
     if use_pallas:
         if (features is not None and quick_weights is None
                 and cov3d_precomp is None):
@@ -121,6 +155,20 @@ def rasterize(
                 campos, bg, scales, rotations, shs, colors_precomp, features)
             return RasterizeOutput(
                 rgb=rgb, feature_map=feat, radii=radii,
+                final_transmittance=final_t, max_tile_count=mtc,
+                total_entries=tot)
+        if (features is None and quick_weights is None
+                and cov3d_precomp is None and settings.binning == "sort"):
+            # RGB mode on the sort path: Pallas forward AND backward
+            # (geometry-phase training contract — pallas_rgb_train.py).
+            from .pallas_rgb_train import rasterize_rgb_vjp
+
+            rgb, final_t, radii, mtc, tot = rasterize_rgb_vjp(
+                settings, means3d, opacities, viewmatrix, projmatrix,
+                campos, bg, scales, rotations, shs, colors_precomp,
+                means2d_dummy=means2d_dummy)
+            return RasterizeOutput(
+                rgb=rgb, feature_map=None, radii=radii,
                 final_transmittance=final_t, max_tile_count=mtc,
                 total_entries=tot)
         return _rasterize_pallas(
@@ -193,13 +241,16 @@ def _rasterize_pallas(
     """Streaming-kernel forward pipeline (inference fast path).
 
     Two binning strategies (settings.binning):
+    - "sort" (default): preprocess (XLA) -> pallas entry expansion ->
+      packed two-word u32 key sort -> entry pack gather -> blend. The
+      measured-fastest path on v5e.
     - "cascade": depth-sort the N gaussians + ONE N-row gather, then
       order-preserving Pallas partition passes stream the packed rows into
-      per-tile depth-sorted segments (pallas_cascade.py). Default.
-    - "sort": preprocess (XLA) -> pallas entry expansion -> packed two-word
-      u32 key sort -> entry pack gather -> blend. Kept as the cross-check
-      path (the pack is bit-exact either way: f32 geometry + f32 weights +
-      integer index pairs).
+      per-tile depth-sorted segments (pallas_cascade.py). Bit-identical
+      segments; slower at bench scale (per-append partition cost).
+
+    settings.precision == "bf16" additionally switches the quick path to
+    the fast16 packed single-gather format (see pallas_blend module doc).
     """
     from . import pallas_binning, pallas_blend
 
@@ -240,17 +291,8 @@ def _rasterize_pallas(
             out_channels=out_channels, topk=topk, chunk=chunk,
             combined=True, interpret=interp)
 
-        rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
-        feat = (rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
-                if feat_t is not None else None)
-        final_t = rasterize_tiles.tiles_to_image(
-            t_t[..., None], grid_x, grid_y, H, W)[0]
-        return RasterizeOutput(
-            rgb=rgb, feature_map=feat, radii=proj.radius,
-            final_transmittance=final_t,
-            max_tile_count=tile_count.max(),
-            total_entries=total,
-        )
+        return _assemble(settings, proj, rgb_t, feat_t, t_t,
+                         tile_count, total)
 
     tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,
@@ -261,10 +303,28 @@ def _rasterize_pallas(
 
     if quick_weights is not None:
         mode, out_channels = "quick", quick_channels
+        topk = quick_weights.shape[1]
+        if settings.precision == "bf16":
+            # fast16: the whole quick entry state in ONE packed w16 row ->
+            # a single row-count-bound XLA gather instead of two.
+            rows = pallas_blend.pack_fast16_rows(
+                proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+                quick_weights, quick_indices)
+            entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+            entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+            banded = (quick_channels % 64 == 0
+                      and topk % (quick_channels // 64) == 0)
+            tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+            rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+                entry_geom, entry_feat, tile_start, tile_count, tile_ids,
+                bg, grid_x=grid_x, grid_y=grid_y, mode="quick",
+                out_channels=out_channels, topk=topk, chunk=chunk,
+                rowfmt="fast16", banded=banded, interpret=interp)
+            return _assemble(settings, proj, rgb_t, feat_t, t_t,
+                             tile_count, total)
         rows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, opacities[:, 0], proj.rgb,
             quick_weights, quick_indices)
-        topk = quick_weights.shape[1]
         entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
         entry_feat = pallas_blend.to_field_major(wrows[g_sorted], chunk)
     else:
@@ -286,12 +346,26 @@ def _rasterize_pallas(
         entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
         grid_x=grid_x, grid_y=grid_y, mode=mode, out_channels=out_channels,
         topk=topk, chunk=chunk, interpret=interp)
+    return _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total)
 
+
+def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total
+              ) -> RasterizeOutput:
+    """Tile-layout blend outputs -> RasterizeOutput. RGB and final-T are
+    always assembled to image layout (cheap); the feature map stays in
+    [T, P, C] tile layout when settings.assemble is False (the query path
+    contracts channels and never needs the [C, H, W] scatter)."""
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
     rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
-    feat = (rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
-            if feat_t is not None else None)
-    final_t = rasterize_tiles.tiles_to_image(t_t[..., None], grid_x, grid_y, H, W)[0]
-
+    if feat_t is None:
+        feat = None
+    elif settings.assemble:
+        feat = rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+    else:
+        feat = feat_t
+    final_t = rasterize_tiles.tiles_to_image(
+        t_t[..., None], grid_x, grid_y, H, W)[0]
     return RasterizeOutput(
         rgb=rgb, feature_map=feat, radii=proj.radius,
         final_transmittance=final_t,

@@ -3,3 +3,9 @@ from .sharding import (  # noqa: F401
     rasterize_sharded,
     make_sharded_feature_train_step,
 )
+from .gauss_sharded import rasterize_gauss_sharded  # noqa: F401
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    save_checkpoint_multihost,
+    sync_hosts,
+)

@@ -106,6 +106,37 @@ class Camera:
         feat = np.transpose(feat, (2, 0, 1)).astype(np.float32)
         return feat, mask[None]
 
+    def get_language_feature_compact(self, language_feature_dir: str,
+                                     feature_level: int):
+        """The same ground truth as get_language_feature, in its compact
+        on-disk form: (segment feature table [N_seg, 512] f32, per-pixel
+        segment index map [H, W] int32, -1 = unassigned).
+
+        The per-pixel 512-d materialization (~1GB at 540x960) is what
+        get_language_feature does on host; the compact form is ~400x
+        smaller, so the training step can upload it per iteration and do
+        the pixel lookup on device — in K-dim Gram space, never in 512-d
+        (train/trainer.py gram loss path).
+        """
+        if not 0 <= feature_level <= 3:
+            raise ValueError(f"feature_level={feature_level}")
+        base = os.path.join(language_feature_dir, self.image_name)
+        seg_map = np.load(base + "_s.npy")      # [4, h, w] int, -1 = unassigned
+        feature_map = np.load(base + "_f.npy")  # [N_seg, 512]
+
+        H, W = self.image_height, self.image_width
+        if seg_map.shape[1] != H or seg_map.shape[2] != W:
+            import cv2
+
+            seg_map = np.stack(
+                [
+                    cv2.resize(seg_map[i], (W, H), interpolation=cv2.INTER_NEAREST)
+                    for i in range(seg_map.shape[0])
+                ]
+            )
+        seg = seg_map[feature_level].astype(np.int32)
+        return feature_map.astype(np.float32), seg
+
 
 @dataclass
 class MiniCam:

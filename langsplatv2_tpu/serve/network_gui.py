@@ -1,17 +1,20 @@
 """Legacy SIBR remote-viewer bridge (non-blocking TCP).
 
-Parity target: reference `gaussian_renderer/network_gui.py` — a listener on
-:55557 speaking the 3DGS SIBR protocol: a length-prefixed JSON header
-{resolution_x/y, fov_y/x, z_near/far, do/keep_alive/scaling_modifier + flags}
-followed by a 4x4 view matrix and a 4x4 view-projection matrix (f32), to
-which we reply with raw RGB bytes + the verification string.
+Parity target: reference `gaussian_renderer/network_gui.py:43-86` — a
+listener speaking the 3DGS SIBR wire protocol: each request is a 4-byte
+little-endian length followed by a UTF-8 JSON object carrying
+resolution_x/y, train, fov_y/x, z_near/far, shs_python, rot_scale_python,
+keep_alive, scaling_modifier, and the flattened view / view-projection
+matrices (whose 2nd and 3rd COLUMNS the receiver negates, matching the
+SIBR viewer's convention). The reply is the raw H*W*3 u8 RGB frame
+followed by the length-prefixed verification string (the scene source
+path). The training loops poll this non-blocking via `poll()`
+(reference train.py:115-128).
 """
 from __future__ import annotations
 
 import json
 import socket
-import struct
-import traceback
 
 import numpy as np
 
@@ -44,10 +47,19 @@ def try_connect() -> None:
         pass
 
 
-def read() -> bytes:
-    messageLength = conn.recv(4)
-    messageLength = int.from_bytes(messageLength, "little")
-    return conn.recv(messageLength)
+def _recv_exact(n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = conn.recv(n - len(buf))
+        if not part:
+            raise ConnectionError("SIBR client closed the connection")
+        buf += part
+    return buf
+
+
+def read() -> dict:
+    message_length = int.from_bytes(_recv_exact(4), "little")
+    return json.loads(_recv_exact(message_length).decode("utf-8"))
 
 
 def send(message_bytes: bytes | None, verify: str) -> None:
@@ -61,26 +73,54 @@ def receive():
     """Returns (custom_camera | None, do_training, convert_shs_python,
     compute_cov3d_python, keep_alive, scaling_modifier)."""
     message = read()
-    width = int.from_bytes(message[0:4], "little")
-    height = int.from_bytes(message[4:8], "little")
-    fovy = struct.unpack("f", message[8:12])[0]
-    fovx = struct.unpack("f", message[12:16])[0]
-    znear = struct.unpack("f", message[16:20])[0]
-    zfar = struct.unpack("f", message[20:24])[0]
-    do_training = bool(message[24])
-    do_shs_python = bool(message[25])
-    do_rot_scale_python = bool(message[26])
-    keep_alive = bool(message[27])
-    scaling_modifier = struct.unpack("f", message[28:32])[0]
-    world_view = np.frombuffer(message[32:96], np.float32).reshape(4, 4).copy()
+    width = int(message["resolution_x"])
+    height = int(message["resolution_y"])
+    if width == 0 or height == 0:
+        return None, None, None, None, None, None
+
+    do_training = bool(message["train"])
+    fovy = float(message["fov_y"])
+    fovx = float(message["fov_x"])
+    znear = float(message["z_near"])
+    zfar = float(message["z_far"])
+    do_shs_python = bool(message["shs_python"])
+    do_rot_scale_python = bool(message["rot_scale_python"])
+    keep_alive = bool(message["keep_alive"])
+    scaling_modifier = float(message["scaling_modifier"])
+    world_view = np.asarray(message["view_matrix"],
+                            np.float32).reshape(4, 4)
     world_view[:, 1] = -world_view[:, 1]
     world_view[:, 2] = -world_view[:, 2]
-    full_proj = np.frombuffer(message[96:160], np.float32).reshape(4, 4).copy()
+    full_proj = np.asarray(message["view_projection_matrix"],
+                           np.float32).reshape(4, 4)
     full_proj[:, 1] = -full_proj[:, 1]
-
-    custom_cam = None
-    if width != 0 and height != 0:
-        custom_cam = MiniCam(
-            width, height, fovy, fovx, znear, zfar, world_view, full_proj)
+    custom_cam = MiniCam(
+        width, height, fovy, fovx, znear, zfar, world_view, full_proj)
     return (custom_cam, do_training, do_shs_python, do_rot_scale_python,
             keep_alive, scaling_modifier)
+
+
+def poll(render_fn, source_path: str, iteration: int, max_iterations: int):
+    """One train-loop poll (reference train.py:115-128): accept a pending
+    client, serve render requests until the client allows training to
+    proceed, drop the connection on error. `render_fn(MiniCam,
+    convert_shs_python, compute_cov3d_python, scaling_modifier) ->
+    np.uint8 [H, W, 3]`. Never raises; never blocks when no client."""
+    global conn
+    if listener is None:
+        return
+    if conn is None:
+        try_connect()
+    while conn is not None:
+        try:
+            net_image_bytes = None
+            (custom_cam, do_training, shs_py, cov_py, keep_alive,
+             scaling_mod) = receive()
+            if custom_cam is not None:
+                img = render_fn(custom_cam, shs_py, cov_py, scaling_mod)
+                net_image_bytes = memoryview(np.ascontiguousarray(img))
+            send(net_image_bytes, source_path)
+            if do_training and (iteration < max_iterations or not keep_alive):
+                break
+        except Exception:
+            conn = None

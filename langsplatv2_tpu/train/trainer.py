@@ -212,6 +212,82 @@ def init_rgb_accum(model: GaussianModel):
 # Language-feature phase
 # ---------------------------------------------------------------------------
 
+def gram_cos_loss(codebooks, weight_map, gt_table, seg_map, layer_idx,
+                  eps: float = 1e-8, chunk: int = 4096):
+    """The reference feature loss cos_loss(feat*mask, gt*mask)
+    (train.py:160-167 + loss_utils.py:24) computed WITHOUT materializing
+    either 512-d pixel map.
+
+    With feat_p = sum_i C_i^T w_ip and gt_p = table[seg_p]:
+
+        sim_p = (sum_i w_ip . phi_i[seg_p]) / (max(|feat_p|, eps) * max(|gt_p|, eps))
+        |feat_p|^2 = sum_ij w_ip^T (C_i C_j^T) w_jp
+
+    so one [S, (l+1)K + 1] per-segment right-hand side (phi_i = table @ C_i^T
+    plus the gt norms) and the KxK Gram matrices carry the whole loss in
+    K-dim space. The per-pixel segment lookup is a chunked one-hot MXU
+    matmul (exact selection at HIGHEST; XLA gathers are row-rate-bound and
+    scatter/bincount into small targets is pathological on TPU). The
+    training step then uploads only the compact GT (table + seg map, ~2.6MB
+    at 540x960) instead of the decoded [512, H, W] map (~1GB) — removing
+    the host->device transfer that dominated the feature-phase step.
+
+    Residual-curriculum gradients match the reference exactly: layers < l
+    enter by value with stop_grad (train.py:155-156, gaussian_model.py:533-543
+    detach), layer l trains through both its weights and its codebook.
+    Masked pixels (seg == -1) match an all-zero one-hot row: sim 0, like the
+    reference's cos of two zero vectors under the eps clamp.
+    """
+    L, K, D = codebooks.shape
+    lay = int(layer_idx)
+    H, W = seg_map.shape
+    hw = H * W
+    w = weight_map.reshape(L, K, hw)
+    cbs = [jax.lax.stop_gradient(codebooks[i]) if i < lay else codebooks[i]
+           for i in range(lay + 1)]
+    ws = [jax.lax.stop_gradient(w[i]) if i < lay else w[i]
+          for i in range(lay + 1)]
+
+    s_rows = gt_table.shape[0]
+    phis = [gt_table @ jnp.transpose(c) for c in cbs]        # [S, K] each
+    gt_n = jnp.linalg.norm(gt_table, axis=1, keepdims=True)  # [S, 1]
+    rhs = jnp.concatenate(phis + [gt_n], axis=1)             # [S, (l+1)K+1]
+
+    n_chunks = -(-hw // chunk)
+    seg_flat = jnp.pad(seg_map.reshape(-1), (0, n_chunks * chunk - hw),
+                       constant_values=-1).reshape(n_chunks, chunk)
+    sids = jnp.arange(s_rows, dtype=jnp.int32)[None, :]
+
+    def lookup(seg_chunk):
+        onehot = (seg_chunk[:, None] == sids).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [chunk, width]
+
+    looked = jax.lax.map(lookup, seg_flat)                   # [nc, chunk, width]
+    looked = looked.reshape(n_chunks * chunk, -1)[:hw]
+    gt_n_pix = looked[:, -1]                                 # [HW]
+
+    num = jnp.zeros((hw,), jnp.float32)
+    for i in range(lay + 1):
+        num = num + jnp.sum(ws[i] * looked[:, i * K:(i + 1) * K].T, axis=0)
+
+    n2 = jnp.zeros((hw,), jnp.float32)
+    for i in range(lay + 1):
+        for j in range(lay + 1):
+            gij = cbs[i] @ jnp.transpose(cbs[j])             # [K, K]
+            n2 = n2 + jnp.sum(ws[i] * (gij @ ws[j]), axis=0)
+    # sqrt has an infinite derivative at 0: pixels no gaussian covers have
+    # n2 == 0 exactly, and 0 * inf through the eps-max would poison every
+    # gradient with NaN (same guard as losses.safe_norm).
+    covered = n2 > 0
+    nrm = jnp.where(covered, jnp.sqrt(jnp.where(covered, n2, 1.0)), 0.0)
+
+    sim = num / (jnp.maximum(nrm, eps) * jnp.maximum(gt_n_pix, eps))
+    return 1.0 - jnp.sum(sim) / hw
+
+
 def make_feature_train_step(
     settings,
     optimizer: GroupedOptimizer,
@@ -220,22 +296,39 @@ def make_feature_train_step(
     use_l1_loss: bool = False,
     normalize: bool = False,
     accum_iter: int = 1,
+    loss_space: str = "pixel",
 ):
     """Feature-phase step (train.py:146-167): geometry frozen, optimize
     logits + codebooks against the masked 2D CLIP map. `layer_idx` is static
     (the curriculum changes it at most vq_layer_num times per run).
 
+    loss_space selects the GT representation the step consumes:
+    - "pixel": (gt_feature [512, H, W], feature_mask [1, H, W]) — the
+      reference's literal formulation; required for l1/normalize.
+    - "gram": (gt_table [S, 512], seg_map [H, W] int32) — the cosine loss
+      in K-dim Gram space (gram_cos_loss), mathematically identical, with
+      ~400x less host->device GT traffic per step. Cos-only.
+
     With accum_iter > 1 the step gains a gradient-accumulation carry dict and
     a traced `do_update` flag (reference train.py:261)."""
+    gram = loss_space == "gram"
+    if gram:
+        assert use_cos_loss and not use_l1_loss and not normalize, \
+            "gram loss space implements the cosine loss only"
 
-    def compute_grads(model, view, proj, campos, bg, gt_feature, feature_mask,
-                      layer_idx):
+    def compute_grads(model, view, proj, campos, bg, gt_a, gt_b, layer_idx):
         params = feature_params(model)
 
         def loss_fn(params):
             m = model.replace(**params)
             out = render(settings, m, view, proj, campos, bg,
                          include_feature=True, topk=topk)
+            if gram:
+                loss = gram_cos_loss(
+                    m.codebooks, out.language_feature_weight_map,
+                    gt_a, gt_b, layer_idx)
+                return loss, jnp.asarray(0.0)
+            gt_feature, feature_mask = gt_a, gt_b
             feat = m.compute_layer_feature_map(
                 out.language_feature_weight_map, layer_idx)
             if normalize:
@@ -260,11 +353,10 @@ def make_feature_train_step(
     if accum_iter > 1:
         @partial(jax.jit, static_argnames=("layer_idx",))
         def step_accum(model: GaussianModel, opt_state, accum, view, proj,
-                       campos, bg, gt_feature, feature_mask, do_update,
+                       campos, bg, gt_a, gt_b, do_update,
                        layer_idx: int = 0):
             params, grads, loss, l1 = compute_grads(
-                model, view, proj, campos, bg, gt_feature, feature_mask,
-                layer_idx)
+                model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
             grads = jax.tree_util.tree_map(jnp.add, accum, grads)
 
             def apply_update(_):
@@ -282,9 +374,9 @@ def make_feature_train_step(
 
     @partial(jax.jit, static_argnames=("layer_idx",))
     def step(model: GaussianModel, opt_state, view, proj, campos, bg,
-             gt_feature, feature_mask, layer_idx: int = 0):
+             gt_a, gt_b, layer_idx: int = 0):
         params, grads, loss, l1 = compute_grads(
-            model, view, proj, campos, bg, gt_feature, feature_mask, layer_idx)
+            model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
         new_params, opt_state = optimizer.update(grads, opt_state, params)
         model = model.replace(**new_params)
         return model, opt_state, {"loss": loss, "l1": l1}
@@ -354,6 +446,33 @@ def camera_arrays(camera, bg):
     )
 
 
+def _gui_poll(model: GaussianModel, bg_color, iteration: int,
+              iterations: int, source_path: str, max_entries: int,
+              tile_cap: int) -> None:
+    """Serve any pending SIBR viewer request from the hot loop (reference
+    train.py:115-128). No-op unless serve.network_gui.init() was called."""
+    from ..serve import network_gui
+    from ..models.renderer import make_settings, render
+
+    if network_gui.listener is None:
+        return
+
+    def render_fn(cam, shs_py, cov_py, scaling_mod):
+        settings = make_settings(cam, model.active_sh_degree,
+                                 scaling_mod or 1.0, max_entries, tile_cap, 16)
+        out = render(settings, model,
+                     jnp.asarray(cam.world_view_transform, jnp.float32),
+                     jnp.asarray(cam.full_proj_transform, jnp.float32),
+                     jnp.asarray(cam.camera_center, jnp.float32),
+                     jnp.asarray(bg_color, jnp.float32),
+                     convert_shs_python=bool(shs_py),
+                     compute_cov3d_python=bool(cov_py))
+        img = jnp.clip(out.render, 0.0, 1.0) * 255.0
+        return np.asarray(img).astype(np.uint8).transpose(1, 2, 0)
+
+    network_gui.poll(render_fn, source_path, iteration, iterations)
+
+
 def train_rgb(
     model: GaussianModel,
     cameras: list,
@@ -370,8 +489,12 @@ def train_rgb(
     accum_iter: int = 1,
     opt_state=None,
     on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
+    gui_source_path: str | None = None,
 ):
-    """Phase-A loop (reference train.py:114-267 without the GUI poll).
+    """Phase-A loop (reference train.py:114-267). When
+    `serve.network_gui.init()` has been called and `gui_source_path` is
+    set, each iteration first serves any pending SIBR viewer request
+    (reference train.py:115-128).
 
     `on_iteration(iteration, model, opt_state, metrics)` makes the live
     optimizer state available to checkpoint callbacks (the reference's
@@ -402,6 +525,9 @@ def train_rgb(
 
     viewpoint_stack: list = []
     for iteration in range(first_iter + 1, iterations + 1):
+        if gui_source_path is not None:
+            _gui_poll(model, bg_color, iteration, iterations,
+                      gui_source_path, max_entries, tile_cap)
         if iteration % 1000 == 0:
             model = model.one_up_sh_degree()
         if not viewpoint_stack:
@@ -473,11 +599,17 @@ def train_features(
     opt_state=None,
     feature_cache: dict | None = None,
     on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
+    gui_source_path: str | None = None,
 ):
     """Phase-C loop (reference train.py language branch). Geometry frozen.
 
-    `feature_cache` maps camera.image_name -> (features, mask) to avoid
-    re-loading npys every epoch; pass {} to enable caching."""
+    The cosine-only configuration (the shipped default, train.sh:4) runs the
+    step in Gram loss space: compact GT (segment table + seg map) goes to
+    device instead of the decoded [512, H, W] map, cutting per-step GT
+    transfer ~400x. l1/normalize configurations use the pixel-space step.
+
+    `feature_cache` maps camera.image_name -> GT arrays to avoid re-loading
+    npys every epoch; pass {} to enable caching."""
     assert model.language_logits is not None and model.codebooks is not None
     optimizer = make_feature_optimizer(opt)
     if opt_state is None:
@@ -487,10 +619,14 @@ def train_features(
     rng = random.Random(seed)
     logs = TrainLogs()
     layer_num = model.codebooks.shape[0]
+    gram = use_cos_loss and not use_l1_loss and not normalize
+    loss_space = "gram" if gram else "pixel"
 
     step_cache: dict[tuple, Callable] = {}
 
     def get_step(camera):
+        # (jit re-specializes per GT table shape on its own; the coarse
+        # s_pad grid in get_gt keeps that to a few variants.)
         sig = (camera.image_height, camera.image_width,
                round(camera.tanfovx, 9), round(camera.tanfovy, 9))
         if sig not in step_cache:
@@ -498,20 +634,31 @@ def train_features(
                                      max_entries, tile_cap, tile_batch=16)
             step_cache[sig] = make_feature_train_step(
                 settings, optimizer, topk, use_cos_loss, use_l1_loss,
-                normalize, accum_iter)
+                normalize, accum_iter, loss_space=loss_space)
         return step_cache[sig]
 
     def get_gt(cam):
         if feature_cache is not None and cam.image_name in feature_cache:
             return feature_cache[cam.image_name]
-        feat, mask = cam.get_language_feature(lf_dir, feature_level)
-        pair = (jnp.asarray(feat), jnp.asarray(mask))
+        if gram:
+            table, seg = cam.get_language_feature_compact(lf_dir, feature_level)
+            # Pad the table to a coarse grid so different cameras share one
+            # compiled step (padded rows are never selected by any seg id).
+            s_pad = -(-max(table.shape[0], 1) // 512) * 512
+            table = np.pad(table, ((0, s_pad - table.shape[0]), (0, 0)))
+            pair = (jnp.asarray(table), jnp.asarray(seg))
+        else:
+            feat, mask = cam.get_language_feature(lf_dir, feature_level)
+            pair = (jnp.asarray(feat), jnp.asarray(mask))
         if feature_cache is not None:
             feature_cache[cam.image_name] = pair
         return pair
 
     viewpoint_stack: list = []
     for iteration in range(first_iter + 1, iterations + 1):
+        if gui_source_path is not None:
+            _gui_poll(model, bg_color, iteration, iterations,
+                      gui_source_path, max_entries, tile_cap)
         if not viewpoint_stack:
             viewpoint_stack = list(cameras)
         cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))

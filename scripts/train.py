@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[2000, 4000, 6000, 8000, 10_000, 30_000])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    # SIBR remote-viewer bridge (reference train.py:344-345 + network_gui);
+    # opt-in here so headless runs never bind a port.
+    parser.add_argument("--gui", action="store_true", default=False)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--cos_loss", action="store_true", default=False)
     parser.add_argument("--l1_loss", action="store_true", default=False)
     parser.add_argument("--normalize", action="store_true", default=False)
@@ -64,6 +69,10 @@ def main():
     from langsplatv2_tpu.models import io as mio
     from langsplatv2_tpu.train import trainer
     from langsplatv2_tpu.utils.sparse_codes import residual_kmeans_codebooks
+
+    if args.gui:
+        from langsplatv2_tpu.serve import network_gui
+        network_gui.init(args.ip, args.port)
 
     scene = Scene(dataset.source_path, args.model_path, images=dataset.images,
                   resolution=dataset.resolution,
@@ -95,6 +104,57 @@ def main():
             spatial_lr_scale=scene.cameras_extent,
             max_sh_degree=dataset.sh_degree,
             capacity=-(-cap // 256) * 256)
+
+    import json as _json
+    from langsplatv2_tpu.models.renderer import make_settings, render
+    from langsplatv2_tpu.utils import losses as _losses
+
+    metrics_file = open(os.path.join(args.model_path, "metrics.jsonl"), "a")
+    test_cams = scene.get_test_cameras()
+    # Reference training_report samples 5 spaced train cameras alongside the
+    # test split (train.py:303-306).
+    train_sample = ([cameras[idx % len(cameras)] for idx in range(5, 30, 5)]
+                    if cameras else [])
+
+    def eval_split(model, cams):
+        l1s, psnrs = [], []
+        for cam in cams:
+            settings = make_settings(cam, model.active_sh_degree, 1.0,
+                                     args.max_entries, args.tile_cap, 16)
+            out = render(settings, model,
+                         jnp.asarray(cam.world_view_transform),
+                         jnp.asarray(cam.full_proj_transform),
+                         jnp.asarray(cam.camera_center),
+                         jnp.asarray(bg, jnp.float32))
+            img = jnp.clip(out.render, 0.0, 1.0)
+            gt = jnp.asarray(cam.image)
+            l1s.append(float(_losses.l1_loss(img, gt)))
+            psnrs.append(float(_losses.psnr(img[None], gt[None])[0, 0]))
+        return float(np.mean(l1s)), float(np.mean(psnrs))
+
+    def training_report(iteration, model, metrics, phase):
+        """Scalar rows to metrics.jsonl every 10 iters; test-split L1/PSNR at
+        --test_iterations (reference train.py:292-328, with JSONL standing in
+        for tensorboard in this environment)."""
+        if iteration % 10 == 0 or iteration in args.test_iterations:
+            row = {"iter": iteration, "phase": phase,
+                   "loss": round(float(metrics["loss"]), 6),
+                   "num_live": int(model.num_live)}
+            if "l1" in metrics:
+                row["l1"] = round(float(metrics["l1"]), 6)
+            metrics_file.write(_json.dumps(row) + "\n")
+            metrics_file.flush()
+        if iteration in args.test_iterations:
+            for split, cams in (("test", test_cams), ("train", train_sample)):
+                if not cams:
+                    continue
+                l1, ps = eval_split(model, cams)
+                print(f"\n[ITER {iteration}] Evaluating {split}: "
+                      f"L1 {l1:.6f} PSNR {ps:.3f}")
+                metrics_file.write(_json.dumps(
+                    {"iter": iteration, "phase": phase, "split": split,
+                     "l1": round(l1, 6), "psnr": round(ps, 4)}) + "\n")
+                metrics_file.flush()
 
     def save_outputs(iteration, model, opt_state, phase):
         if iteration in args.save_iterations:
@@ -138,6 +198,7 @@ def main():
         def on_iter(it, m, opt_state, metrics):
             if it % 100 == 0:
                 print(f"Iter {it} Loss: {float(metrics['loss']):.6f}")
+            training_report(it, m, metrics, "feature")
             save_outputs(it, m, opt_state, "feature")
 
         init_opt_state = restore_opt_state(
@@ -151,12 +212,14 @@ def main():
             bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
             opt_state=init_opt_state, feature_cache={},
-            on_iteration=on_iter)
+            on_iteration=on_iter,
+            gui_source_path=dataset.source_path if args.gui else None)
     else:
         def on_iter(it, m, opt_state, metrics):
             if it % 100 == 0:
                 print(f"Iter {it} Loss: {float(metrics['loss']):.6f} "
                       f"live: {int(m.num_live)}")
+            training_report(it, m, metrics, "rgb")
             save_outputs(it, m, opt_state, "rgb")
 
         init_opt_state = restore_opt_state(
@@ -168,7 +231,8 @@ def main():
             bg_color=bg, white_background=dataset.white_background,
             seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
-            opt_state=init_opt_state, on_iteration=on_iter)
+            opt_state=init_opt_state, on_iteration=on_iter,
+            gui_source_path=dataset.source_path if args.gui else None)
 
     save_outputs(args.iterations, model, final_opt_state,
                  "feature" if opt.include_feature else "rgb")

@@ -182,6 +182,52 @@ class TestFastPathEndToEnd:
         np.testing.assert_allclose(op_.final_transmittance,
                                    ox.final_transmittance, atol=3e-5)
 
+    def test_quick_fast16_close_to_parity(self):
+        """precision="bf16" (fast16 packed single-gather serving path) must
+        stay within the documented ~1e-2 envelope of the parity path, and
+        assemble=False must return the same feature map in tile layout."""
+        from langsplatv2_tpu.ops import rasterize_tiles as rt
+
+        n, h, w = 800, 80, 112
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=2)
+        rng = np.random.default_rng(2)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        sp = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="pallas", binning="sort")
+        ref = rasterize(sp, jnp.asarray(means), ops, view, pm,
+                        jnp.zeros(3, jnp.float32), bg, **common)
+        fast = rasterize(sp._replace(precision="bf16"), jnp.asarray(means),
+                         ops, view, pm, jnp.zeros(3, jnp.float32), bg,
+                         **common)
+        # bf16-packed conic/opacity/weights: ~0.4% relative; compare against
+        # the value scale of each map.
+        np.testing.assert_allclose(fast.rgb, ref.rgb, atol=2e-2)
+        np.testing.assert_allclose(fast.feature_map, ref.feature_map,
+                                   atol=2e-2)
+        np.testing.assert_allclose(fast.final_transmittance,
+                                   ref.final_transmittance, atol=2e-2)
+
+        tiles = rasterize(sp._replace(precision="bf16", assemble=False),
+                          jnp.asarray(means), ops, view, pm,
+                          jnp.zeros(3, jnp.float32), bg, **common)
+        gx, gy = sp.grid_x, sp.grid_y
+        assert tiles.feature_map.shape == (gx * gy, 256, L * K)
+        reassembled = rt.tiles_to_image(tiles.feature_map, gx, gy, h, w)
+        np.testing.assert_allclose(reassembled, fast.feature_map, atol=1e-6)
+
 
 class TestDenseCustomVJP:
     def test_feature_grads_match_xla_autodiff(self):
@@ -211,6 +257,88 @@ class TestDenseCustomVJP:
         v_p, g_p = jax.value_and_grad(make_loss("pallas"))(feats)
         np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
         np.testing.assert_allclose(g_p, g_x, atol=3e-5)
+
+
+class TestQuickTrainVJP:
+    def test_weight_grads_match_xla_autodiff(self):
+        """Feature training via the top-k representation (quick_train=True):
+        the Pallas quick forward + W-replay backward must match the XLA
+        differentiable quick path's d(quick_weights)."""
+        n, h, w = 300, 48, 64
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w)
+        rng = np.random.default_rng(0)
+        K, TOPK = 64, 4
+        logits = rng.normal(size=(n, K)).astype(np.float32)
+        from langsplatv2_tpu.utils.sparse_codes import get_weights_and_indices
+        qw0, qi = get_weights_and_indices(jnp.asarray(logits), TOPK)
+        cot = jnp.asarray(rng.normal(size=(K, h, w)).astype(np.float32))
+
+        def make_loss(impl):
+            st = RasterizeSettings(
+                image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+                tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 12,
+                tile_cap=256, tile_batch=4, impl=impl)
+
+            def loss(qw):
+                out = rasterize(
+                    st, jnp.asarray(means), ops, view, pm,
+                    jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                    scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                    colors_precomp=cols, quick_weights=qw, quick_indices=qi,
+                    quick_channels=K, quick_train=True)
+                return jnp.sum(out.feature_map * cot)
+            return loss
+
+        v_x, g_x = jax.value_and_grad(make_loss("xla"))(qw0)
+        v_p, g_p = jax.value_and_grad(make_loss("pallas"))(qw0)
+        np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
+        np.testing.assert_allclose(g_p, g_x, atol=3e-5)
+
+
+class TestRGBCustomVJP:
+    def test_geometry_grads_match_xla_autodiff(self):
+        """RGB-phase backward (pallas_rgb_train.py): d(means3D, opacity,
+        scales, rotations, colors, means2D carrier) must match the XLA
+        reference pipeline's autodiff — the SURVEY §2.3(a).4 backward
+        contract for the geometry phase."""
+        n, h, w = 300, 48, 64
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w)
+        rng = np.random.default_rng(1)
+        cot_rgb = jnp.asarray(rng.normal(size=(3, h, w)).astype(np.float32))
+        cot_t = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+        bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+
+        def make_loss(impl):
+            st = RasterizeSettings(
+                image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+                tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 12,
+                tile_cap=256, tile_batch=4, impl=impl, binning="sort")
+
+            def loss(means3d, op_, sc, ro, co, dummy):
+                out = rasterize(
+                    st, means3d, op_, view, pm, jnp.zeros(3, jnp.float32),
+                    bg, scales=sc, rotations=ro, colors_precomp=co,
+                    means2d_dummy=dummy)
+                return (jnp.sum(out.rgb * cot_rgb)
+                        + jnp.sum(out.final_transmittance * cot_t))
+            return loss
+
+        args = (jnp.asarray(means), ops, jnp.asarray(scales),
+                jnp.asarray(rots), cols, jnp.zeros((n, 2), jnp.float32))
+        v_x, g_x = jax.value_and_grad(
+            make_loss("xla"), argnums=(0, 1, 2, 3, 4, 5))(*args)
+        v_p, g_p = jax.value_and_grad(
+            make_loss("pallas"), argnums=(0, 1, 2, 3, 4, 5))(*args)
+        np.testing.assert_allclose(v_p, v_x, rtol=1e-4)
+        names = ("means3d", "opacity", "scales", "rotations", "colors",
+                 "means2d")
+        for nm, gp, gx in zip(names, g_p, g_x):
+            scale = max(1e-3, float(jnp.abs(gx).max()))
+            np.testing.assert_allclose(
+                np.asarray(gp) / scale, np.asarray(gx) / scale, atol=5e-5,
+                err_msg=nm)
 
 
 class TestCascadeBinning:

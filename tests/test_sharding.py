@@ -167,3 +167,99 @@ class TestShardedTraining:
                 gt_feats, gt_masks)
             losses.append(float(met["loss"]))
         assert losses[-1] < losses[0] * 0.9, losses
+
+
+class TestGaussSharded:
+    """Gaussian-sharded binning + all-to-all exchange (SURVEY §2.4 row 3):
+    per-tile images must equal the single-device Pallas sort path exactly
+    (same entries, same global depth order, same tie-breaks)."""
+
+    def _mesh(self, c=8):
+        import numpy as _np
+        from jax.sharding import Mesh
+        return Mesh(_np.asarray(jax.devices()[:c]), ("gauss",))
+
+    def test_rgb_matches_single_device(self, rng):
+        from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+
+        n = 160  # divisible by 8
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13)
+        single = rasterize(
+            settings._replace(impl="pallas", binning="sort"),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"],
+            colors_precomp=jnp.asarray(
+                np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32))
+        cols = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32)
+        rgb, feat, final_t, total, dropped = rasterize_gauss_sharded(
+            self._mesh(), settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            jnp.zeros(3), scales=g["scales"], rotations=g["rotations"],
+            colors_precomp=cols, pair_capacity=2048)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(single.rgb),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(final_t),
+                                   np.asarray(single.final_transmittance),
+                                   atol=2e-5)
+
+    def test_quick_matches_single_device(self, rng):
+        from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+
+        n = 160
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13)
+        r2 = np.random.default_rng(7)
+        L_, K_, TOPK = 3, 64, 4
+        qw = r2.uniform(0, 1, (n, L_ * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [r2.integers(0, K_, (n, TOPK)) + l * K_ for l in range(L_)], 1
+        ).astype(np.float32)
+        cols = jnp.asarray(r2.uniform(0, 1, (n, 3)), jnp.float32)
+        common = dict(scales=g["scales"], rotations=g["rotations"],
+                      colors_precomp=cols)
+        single = rasterize(
+            settings._replace(impl="pallas", binning="sort"),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            quick_weights=jnp.asarray(qw), quick_indices=jnp.asarray(qi),
+            quick_channels=L_ * K_, **common)
+        rgb, feat, final_t, total, dropped = rasterize_gauss_sharded(
+            self._mesh(), settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            jnp.zeros(3), quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L_ * K_,
+            pair_capacity=2048, **common)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(feat),
+                                   np.asarray(single.feature_map), atol=2e-5)
+
+    def test_overflow_reported(self, rng):
+        from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+
+        n = 1600  # 200 gaussians/chip x 2 tiles/dest >> pair_capacity 128
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13)
+        # Huge splats: every gaussian touches every tile, so each (src, dst)
+        # pair gets ~n/8 * tiles_per entries >> 128.
+        *_, dropped = rasterize_gauss_sharded(
+            self._mesh(), settings, g["means3d"], g["opacities"],
+            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+            jnp.zeros(3), scales=jnp.full((n, 3), 1.0),
+            rotations=g["rotations"], pair_capacity=128)
+        assert int(dropped) > 0
+
+
+class TestDistributedBootstrap:
+    def test_single_process_noop(self):
+        from langsplatv2_tpu.parallel import (initialize_distributed,
+                                              sync_hosts)
+        assert initialize_distributed() is False
+        sync_hosts()  # no-op, must not raise

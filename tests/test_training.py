@@ -121,17 +121,17 @@ class TestFeatureTraining:
         model = model.replace(opacity=jnp.full((n, 1), 2.0))
         model = gm.init_language_features(model, jax.random.PRNGKey(1), 1, 16)
 
-        # Build GT feature map: direction A on left pixels, B on right.
-        dirA = np.zeros(512, np.float32); dirA[0] = 1.0
-        dirB = np.zeros(512, np.float32); dirB[1] = 1.0
-        gt_feat = np.zeros((512, H, W), np.float32)
-        gt_feat[:, :, : W // 2] = dirA[:, None, None]
-        gt_feat[:, :, W // 2:] = dirB[:, None, None]
-        gt_mask = np.ones((1, H, W), bool)
+        # Build GT: direction A on left pixels, B on right — in the compact
+        # (table, seg) form the gram-space cosine step consumes.
+        table = np.zeros((2, 512), np.float32)
+        table[0, 0] = 1.0
+        table[1, 1] = 1.0
+        seg = np.zeros((H, W), np.int32)
+        seg[:, W // 2:] = 1
 
         class LFCam(FakeCam):
-            def get_language_feature(self, lf_dir, level):
-                return gt_feat, gt_mask
+            def get_language_feature_compact(self, lf_dir, level):
+                return table, seg
 
         fake = LFCam(cam, np.zeros((3, H, W), np.float32))
         opt = make_opt(include_feature=True)
@@ -154,13 +154,13 @@ class TestFeatureTraining:
         model = gm.create_from_pcd(
             np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
         model = gm.init_language_features(model, jax.random.PRNGKey(3), 1, 16)
-        gt_feat = np.zeros((512, H, W), np.float32)
-        gt_feat[0] = 1.0
-        gt_mask = np.ones((1, H, W), bool)
+        table = np.zeros((1, 512), np.float32)
+        table[0, 0] = 1.0
+        seg = np.zeros((H, W), np.int32)
 
         class LFCam(FakeCam):
-            def get_language_feature(self, lf_dir, level):
-                return gt_feat, gt_mask
+            def get_language_feature_compact(self, lf_dir, level):
+                return table, seg
 
         fake = LFCam(cam, np.zeros((3, H, W), np.float32))
         opt = make_opt(include_feature=True)
@@ -185,6 +185,72 @@ class TestFeatureTraining:
         assert np.any(logits[6] != logits[5])
         # ...and the final iteration never steps (train.py:261 quirk).
         np.testing.assert_array_equal(logits[7], logits[6])
+
+    def test_gram_step_matches_pixel_step(self, rng):
+        """The gram-space cosine step (compact GT on device) must produce
+        the same loss and the same parameter update as the pixel-space step
+        fed the materialized [512, H, W] map (they compute the same math —
+        trainer.gram_cos_loss docstring)."""
+        n = 30
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        model = gm.create_from_pcd(
+            np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 1.5))
+        model = gm.init_language_features(model, jax.random.PRNGKey(5), 1, 16)
+
+        nseg = 5
+        table = np.random.default_rng(0).normal(
+            size=(nseg, 512)).astype(np.float32)
+        seg = np.random.default_rng(1).integers(
+            -1, nseg, (H, W)).astype(np.int32)
+        gt_feat = np.where(seg >= 0, 1, 0)[None] * np.transpose(
+            table[np.clip(seg, 0, None)], (2, 0, 1))
+        gt_mask = (seg >= 0)[None]
+
+        fake = FakeCam(cam, np.zeros((3, H, W), np.float32))
+        settings = make_settings(fake, 0, 1.0, 2 ** 14, 256, 8)
+        args = (np.asarray(cam["viewmatrix"]), np.asarray(cam["projmatrix"]),
+                np.asarray(cam["campos"]), jnp.zeros(3))
+
+        def loss_of(params, space):
+            m = model.replace(**params)
+            out = render(settings, m, *args, include_feature=True, topk=4)
+            if space == "gram":
+                return trainer.gram_cos_loss(
+                    m.codebooks, out.language_feature_weight_map,
+                    jnp.asarray(table), jnp.asarray(seg), 0)
+            feat = m.compute_layer_feature_map(
+                out.language_feature_weight_map, 0)
+            mask = jnp.asarray(gt_mask).astype(feat.dtype)
+            return losses.cos_loss(feat * mask, jnp.asarray(gt_feat) * mask)
+
+        params = trainer.feature_params(model)
+        v_p, g_p = jax.value_and_grad(lambda p: loss_of(p, "pixel"))(params)
+        v_g, g_g = jax.value_and_grad(lambda p: loss_of(p, "gram"))(params)
+        np.testing.assert_allclose(float(v_g), float(v_p), rtol=1e-5)
+        np.testing.assert_allclose(g_g["language_logits"],
+                                   g_p["language_logits"], atol=2e-6)
+        np.testing.assert_allclose(g_g["codebooks"], g_p["codebooks"],
+                                   atol=2e-6)
+
+        # Uncovered pixels (zero blended weights) must yield FINITE
+        # gradients: sqrt'(0) = inf leaks NaN through the eps clamp unless
+        # guarded (the CLI scene hit this — gaussians never cover the full
+        # frame in practice).
+        dead = model.replace(opacity=jnp.full_like(model.opacity, -12.0))
+
+        def loss_dead(p):
+            m = dead.replace(**p)
+            out = render(settings, m, *args, include_feature=True, topk=4)
+            return trainer.gram_cos_loss(
+                m.codebooks, out.language_feature_weight_map,
+                jnp.asarray(table), jnp.asarray(seg), 0)
+
+        vd, gd = jax.value_and_grad(loss_dead)(trainer.feature_params(dead))
+        assert np.isfinite(float(vd))
+        for k, g in gd.items():
+            assert np.isfinite(np.asarray(g)).all(), k
 
     def test_quick_matches_training_after_merge(self, rng):
         """Merged quick-render weights reproduce the dense top-k blend."""
