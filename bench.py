@@ -21,6 +21,7 @@ fetch per measurement (block_until_ready under-reports on this backend).
 """
 import json
 import math
+import os
 import sys
 import time
 
@@ -211,6 +212,18 @@ def main():
         for o in out:
             _ = float(jnp.asarray(o).ravel()[0])
         return n / (time.time() - t0)
+
+    # LSV2_TRACE=<dir>: capture a jax.profiler trace of a few production
+    # frames (the SURVEY §5 tracing facility; view with tensorboard or
+    # xprof). Traced frames are excluded from the timed loops below.
+    trace_dir = os.environ.get("LSV2_TRACE")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = frame_query(view, proj)
+            for o in out:
+                _ = float(jnp.asarray(o).ravel()[0])
+        log(f"profiler trace written to {trace_dir}")
 
     fps_host = fps_of(frame_query)
     log(f"production path, host-dispatch loop: {fps_host:.2f} FPS "

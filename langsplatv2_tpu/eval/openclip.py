@@ -101,8 +101,10 @@ class TransformersBackend:
     def __init__(self, model_id="laion/CLIP-ViT-B-16-laion2B-s34b-b88k"):
         from transformers import CLIPModel, CLIPProcessor  # noqa
 
-        self.model = CLIPModel.from_pretrained(model_id)
-        self.processor = CLIPProcessor.from_pretrained(model_id)
+        self.model = CLIPModel.from_pretrained(model_id,
+                                               local_files_only=True)
+        self.processor = CLIPProcessor.from_pretrained(model_id,
+                                                       local_files_only=True)
 
     def encode_text(self, texts: list[str]) -> np.ndarray:
         import torch
@@ -120,6 +122,39 @@ class TransformersBackend:
             return self.model.get_image_features(**inputs).cpu().numpy()
 
 
+class FlaxClipBackend:
+    """HF Flax CLIP — the encoder itself runs through JAX/XLA on the TPU
+    (the reference runs OpenCLIP on the training GPU, preprocess.py:28-30;
+    this is the TPU-native equivalent for eval/serving-time text and crop
+    encoding). Weights come from the same laion checkpoint, converted from
+    the torch state dict on first load (`from_pt=True`); raises when the
+    checkpoint is not present in the local HF cache (zero-egress
+    environments fall back like the other real backends)."""
+
+    name = "flax"
+
+    def __init__(self, model_id="laion/CLIP-ViT-B-16-laion2B-s34b-b88k"):
+        from transformers import CLIPProcessor, FlaxCLIPModel  # noqa
+
+        # local_files_only: fail instantly when the checkpoint is not in
+        # the local HF cache instead of burning minutes of network retries
+        # (zero-egress environments).
+        self.model = FlaxCLIPModel.from_pretrained(
+            model_id, from_pt=True, local_files_only=True)
+        self.processor = CLIPProcessor.from_pretrained(
+            model_id, local_files_only=True)
+
+    def encode_text(self, texts: list[str]) -> np.ndarray:
+        inputs = self.processor(text=texts, return_tensors="np", padding=True)
+        return np.asarray(self.model.get_text_features(**inputs))
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        inputs = self.processor(
+            images=[im.transpose(1, 2, 0) for im in images],
+            return_tensors="np")
+        return np.asarray(self.model.get_image_features(**inputs))
+
+
 def make_backend(name: str = "auto"):
     if name == "hash":
         return HashBackend()
@@ -127,8 +162,10 @@ def make_backend(name: str = "auto"):
         return OpenClipBackend()
     if name == "transformers":
         return TransformersBackend()
+    if name == "flax":
+        return FlaxClipBackend()
     assert name == "auto", name
-    for cls in (OpenClipBackend, TransformersBackend):
+    for cls in (FlaxClipBackend, OpenClipBackend, TransformersBackend):
         try:
             return cls()
         except Exception:

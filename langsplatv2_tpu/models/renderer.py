@@ -40,6 +40,7 @@ def make_settings(
     max_entries: int = 2 ** 21,
     tile_cap: int = 1024,
     tile_batch: int = 16,
+    impl: str = "auto",
 ) -> RasterizeSettings:
     return RasterizeSettings(
         image_height=int(camera.image_height),
@@ -51,6 +52,7 @@ def make_settings(
         max_entries=max_entries,
         tile_cap=tile_cap,
         tile_batch=tile_batch,
+        impl=impl,
     )
 
 

@@ -140,8 +140,15 @@ def rasterize(
                 total_entries=tot)
         use_pallas = False
     else:
+        # "auto": Pallas for quick-mode inference anywhere, and for RGB
+        # mode on real TPUs (the Pallas forward+backward sustains
+        # production scale where the XLA autodiff blend's [tiles, P, cap]
+        # temps OOM; on CPU the XLA pipeline stays the reference).
         use_pallas = settings.impl == "pallas" or (
-            settings.impl == "auto" and quick_weights is not None)
+            settings.impl == "auto" and (
+                quick_weights is not None
+                or (features is None and cov3d_precomp is None
+                    and settings.binning == "sort" and _pallas_supported())))
     if use_pallas:
         if (features is not None and quick_weights is None
                 and cov3d_precomp is None):

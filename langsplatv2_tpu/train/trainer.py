@@ -490,8 +490,11 @@ def train_rgb(
     opt_state=None,
     on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
     gui_source_path: str | None = None,
+    impl: str = "auto",
 ):
-    """Phase-A loop (reference train.py:114-267). When
+    """Phase-A loop (reference train.py:114-267). `impl="pallas"` uses the
+    streaming Pallas forward + the RGB-phase Pallas backward
+    (ops/pallas_rgb_train.py) instead of the XLA pipeline. When
     `serve.network_gui.init()` has been called and `gui_source_path` is
     set, each iteration first serves any pending SIBR viewer request
     (reference train.py:115-128).
@@ -518,7 +521,7 @@ def train_rgb(
                round(camera.tanfovx, 9), round(camera.tanfovy, 9), sh_degree)
         if sig not in step_cache:
             settings = make_settings(camera, sh_degree, 1.0, max_entries,
-                                     tile_cap, tile_batch=16)
+                                     tile_cap, tile_batch=16, impl=impl)
             step_cache[sig] = make_rgb_train_step(
                 settings, optimizer, opt.lambda_dssim, accum_iter)
         return step_cache[sig]

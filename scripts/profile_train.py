@@ -59,7 +59,9 @@ def main():
     cam = types.SimpleNamespace(
         image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
         tanfovy=math.tan(fovy / 2))
-    settings = make_settings(cam, 0, 1.0, 2 ** 21, 2048, 16)
+    import os
+    budget = int(os.environ.get("LSV2_BUDGET", 2 ** 21))
+    settings = make_settings(cam, 0, 1.0, budget, 2048, 16)
 
     table = jnp.asarray(rng.normal(size=(nseg, 512)).astype(np.float32))
     seg = jnp.asarray(rng.integers(0, nseg, (h, w)).astype(np.int32))

@@ -50,6 +50,13 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tile_cap", type=int, default=1024)
     parser.add_argument("--max_entries", type=int, default=2 ** 21)
+    # Rasterizer implementation for the RGB phase: "auto" (XLA autodiff
+    # pipeline), "pallas" (streaming forward + RGB Pallas backward).
+    parser.add_argument("--impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
+    # Capture a jax.profiler trace of iterations [100, 110) to this dir
+    # (SURVEY §5 tracing; the reference only has CUDA event timers).
+    parser.add_argument("--profile_dir", type=str, default=None)
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
     # The reference appends the feature level to the model dir (train.py:354).
@@ -132,7 +139,17 @@ def main():
             psnrs.append(float(_losses.psnr(img[None], gt[None])[0, 0]))
         return float(np.mean(l1s)), float(np.mean(psnrs))
 
+    def maybe_profile(iteration):
+        if args.profile_dir is None:
+            return
+        if iteration == 100:
+            jax.profiler.start_trace(args.profile_dir)
+        elif iteration == 110:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
+
     def training_report(iteration, model, metrics, phase):
+        maybe_profile(iteration)
         """Scalar rows to metrics.jsonl every 10 iters; test-split L1/PSNR at
         --test_iterations (reference train.py:292-328, with JSONL standing in
         for tensorboard in this environment)."""
@@ -232,7 +249,8 @@ def main():
             seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
             opt_state=init_opt_state, on_iteration=on_iter,
-            gui_source_path=dataset.source_path if args.gui else None)
+            gui_source_path=dataset.source_path if args.gui else None,
+            impl=args.impl)
 
     save_outputs(args.iterations, model, final_opt_state,
                  "feature" if opt.include_feature else "rgb")
