@@ -26,7 +26,16 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
+
+    # jax may be pre-imported by sitecustomize (axon TPU plugin), in which
+    # case the JAX_PLATFORMS env var is read too late — apply it here
+    # (backend initialization is still lazy at this point).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from langsplatv2_tpu.ops.rasterize import RasterizeSettings
     from langsplatv2_tpu.parallel import make_device_mesh, rasterize_sharded

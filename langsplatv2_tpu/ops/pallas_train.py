@@ -401,7 +401,11 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         chunk=chunk, interpret=interp)
 
     rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
-    feat = rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+    # assemble=False keeps the feature map in [T, P, C] tile layout (the
+    # tiles-space gram loss consumes it directly; the backward then skips
+    # the cotangent image->tiles conversion as well).
+    feat = (rasterize_tiles.tiles_to_image(feat_t, grid_x, grid_y, H, W)
+            if settings.assemble else feat_t)
     final_t = rasterize_tiles.tiles_to_image(
         t_t[..., None], grid_x, grid_y, H, W)[0]
 
@@ -459,11 +463,15 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
      quick_indices), args = res
     g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot = cotangents
     grid_x, grid_y = settings.grid_x, settings.grid_y
-    feat_k = g_feat.shape[0]
     n = quick_indices.shape[0]
     interp = not _pallas_supported()
 
-    g_tiles = _image_to_tiles(g_feat, grid_x, grid_y)       # [T, P, K]
+    if settings.assemble:
+        feat_k = g_feat.shape[0]
+        g_tiles = _image_to_tiles(g_feat, grid_x, grid_y)   # [T, P, K]
+    else:
+        feat_k = g_feat.shape[-1]
+        g_tiles = g_feat                                    # already tiles
     tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
     dfeat_entries = feature_grads_pallas(
         entry_geom, tile_start, tile_count, tile_ids, g_tiles,

@@ -65,12 +65,15 @@ class BackendRenderer:
         campos = c2w[:3, 3].astype(np.float32)
         key = (width, height, round(fov_x, 9), round(fov_y, 9))
         if key not in self._settings_cache:
+            # Serving uses the fast16 precision mode: single packed entry
+            # gather + bf16 blend (~1e-3 from parity — invisible in a JPEG
+            # heatmap/preview stream).
             self._settings_cache[key] = RasterizeSettings(
                 image_height=height, image_width=width,
                 tanfovx=math.tan(fov_x / 2), tanfovy=math.tan(fov_y / 2),
                 sh_degree=self.model.active_sh_degree,
                 max_entries=self.max_entries, tile_cap=self.tile_cap,
-                tile_batch=32)
+                tile_batch=32, precision="bf16")
         return self._settings_cache[key], view, full, campos
 
     def render_request(self, request: dict) -> np.ndarray:

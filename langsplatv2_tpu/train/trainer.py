@@ -243,6 +243,41 @@ def gram_cos_loss(codebooks, weight_map, gt_table, seg_map, layer_idx,
     H, W = seg_map.shape
     hw = H * W
     w = weight_map.reshape(L, K, hw)
+    return _gram_cos_core(codebooks, w, seg_map.reshape(-1), hw, lay,
+                          eps=eps, chunk=chunk, gt_table=gt_table)
+
+
+def gram_cos_loss_tiles(codebooks, wmap_tiles, gt_table, seg_map, layer_idx,
+                        eps: float = 1e-8, chunk: int = 4096):
+    """gram_cos_loss on TILE-layout weight maps ([T, P, L*K], the
+    assemble=False rasterizer output): the [L*K, H, W] image scatter is
+    skipped entirely — the seg map is tiled instead (a [H, W] int reshuffle,
+    ~400x smaller). Identical value/gradients to the image-layout loss."""
+    from ..ops.projection import BLOCK
+
+    L, K, D = codebooks.shape
+    lay = int(layer_idx)
+    H, W = seg_map.shape
+    t, p, _ = wmap_tiles.shape
+    grid_x, grid_y = -(-W // BLOCK), -(-H // BLOCK)
+    seg_p = jnp.pad(seg_map, ((0, grid_y * BLOCK - H),
+                              (0, grid_x * BLOCK - W)), constant_values=-1)
+    seg_t = seg_p.reshape(grid_y, BLOCK, grid_x, BLOCK).transpose(
+        0, 2, 1, 3).reshape(t * p)
+    w = wmap_tiles.reshape(t * p, L, K).transpose(1, 2, 0)   # [L, K, Q]
+    # Padding pixels carry seg -1: zero one-hot row -> sim 0, so dividing
+    # by the true H*W reproduces the image-layout mean exactly.
+    return _gram_cos_core(codebooks, w, seg_t, H * W, lay, eps=eps,
+                          chunk=chunk, gt_table=gt_table)
+
+
+def _gram_cos_core(codebooks, w, seg_flat, hw, lay, *, eps, chunk, gt_table):
+    """Shared core: w [L, K, Q] per-pixel coefficients in any pixel order,
+    seg_flat [Q] segment ids (-1 = masked/padding), hw = the true pixel
+    count the mean divides by (Q >= hw pixels beyond the image must carry
+    seg -1: their sim is 0, so the sum is unaffected)."""
+    L, K, D = codebooks.shape
+    q = seg_flat.shape[0]
     cbs = [jax.lax.stop_gradient(codebooks[i]) if i < lay else codebooks[i]
            for i in range(lay + 1)]
     ws = [jax.lax.stop_gradient(w[i]) if i < lay else w[i]
@@ -253,9 +288,9 @@ def gram_cos_loss(codebooks, weight_map, gt_table, seg_map, layer_idx,
     gt_n = jnp.linalg.norm(gt_table, axis=1, keepdims=True)  # [S, 1]
     rhs = jnp.concatenate(phis + [gt_n], axis=1)             # [S, (l+1)K+1]
 
-    n_chunks = -(-hw // chunk)
-    seg_flat = jnp.pad(seg_map.reshape(-1), (0, n_chunks * chunk - hw),
-                       constant_values=-1).reshape(n_chunks, chunk)
+    n_chunks = -(-q // chunk)
+    seg_c = jnp.pad(seg_flat, (0, n_chunks * chunk - q),
+                    constant_values=-1).reshape(n_chunks, chunk)
     sids = jnp.arange(s_rows, dtype=jnp.int32)[None, :]
 
     def lookup(seg_chunk):
@@ -265,15 +300,15 @@ def gram_cos_loss(codebooks, weight_map, gt_table, seg_map, layer_idx,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [chunk, width]
 
-    looked = jax.lax.map(lookup, seg_flat)                   # [nc, chunk, width]
-    looked = looked.reshape(n_chunks * chunk, -1)[:hw]
-    gt_n_pix = looked[:, -1]                                 # [HW]
+    looked = jax.lax.map(lookup, seg_c)                      # [nc, chunk, width]
+    looked = looked.reshape(n_chunks * chunk, -1)[:q]
+    gt_n_pix = looked[:, -1]                                 # [Q]
 
-    num = jnp.zeros((hw,), jnp.float32)
+    num = jnp.zeros((q,), jnp.float32)
     for i in range(lay + 1):
         num = num + jnp.sum(ws[i] * looked[:, i * K:(i + 1) * K].T, axis=0)
 
-    n2 = jnp.zeros((hw,), jnp.float32)
+    n2 = jnp.zeros((q,), jnp.float32)
     for i in range(lay + 1):
         for j in range(lay + 1):
             gij = cbs[i] @ jnp.transpose(cbs[j])             # [K, K]
@@ -315,16 +350,26 @@ def make_feature_train_step(
     if gram:
         assert use_cos_loss and not use_l1_loss and not normalize, \
             "gram loss space implements the cosine loss only"
+    # On the Pallas route the weight map stays in tile layout and the gram
+    # loss consumes it directly — the [L*K, H, W] image scatter never runs.
+    from ..ops.rasterize import _pallas_supported
+
+    tiles_mode = gram and (
+        settings.impl == "pallas"
+        or (settings.impl == "auto" and _pallas_supported()))
+    render_settings = settings._replace(assemble=False) if tiles_mode \
+        else settings
 
     def compute_grads(model, view, proj, campos, bg, gt_a, gt_b, layer_idx):
         params = feature_params(model)
 
         def loss_fn(params):
             m = model.replace(**params)
-            out = render(settings, m, view, proj, campos, bg,
+            out = render(render_settings, m, view, proj, campos, bg,
                          include_feature=True, topk=topk)
             if gram:
-                loss = gram_cos_loss(
+                lf = gram_cos_loss_tiles if tiles_mode else gram_cos_loss
+                loss = lf(
                     m.codebooks, out.language_feature_weight_map,
                     gt_a, gt_b, layer_idx)
                 return loss, jnp.asarray(0.0)

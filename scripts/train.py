@@ -63,6 +63,9 @@ def main():
     args.model_path = args.model_path + f"_{args.feature_level}"
     print("Optimizing " + args.model_path)
 
+    from langsplatv2_tpu.utils.system import safe_state
+    safe_state(args.quiet, seed=args.seed)
+
     dataset = lp.extract(args)
     opt = op.extract(args)
     os.makedirs(args.model_path, exist_ok=True)

@@ -252,6 +252,42 @@ class TestFeatureTraining:
         for k, g in gd.items():
             assert np.isfinite(np.asarray(g)).all(), k
 
+    def test_gram_tiles_matches_image_layout(self, rng):
+        """gram_cos_loss_tiles on the assemble=False tile-layout weight map
+        must equal gram_cos_loss on the assembled image (value + grads)."""
+        n = 25
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        model = gm.create_from_pcd(
+            np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32), 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 1.5))
+        model = gm.init_language_features(model, jax.random.PRNGKey(7), 1, 16)
+        nseg = 4
+        table = jnp.asarray(np.random.default_rng(2).normal(
+            size=(nseg, 512)).astype(np.float32))
+        seg = jnp.asarray(np.random.default_rng(3).integers(
+            -1, nseg, (H, W)).astype(np.int32))
+        fake = FakeCam(cam, np.zeros((3, H, W), np.float32))
+        settings = make_settings(fake, 0, 1.0, 2 ** 13, 256, 4,
+                                 impl="pallas")
+        args = (np.asarray(cam["viewmatrix"]), np.asarray(cam["projmatrix"]),
+                np.asarray(cam["campos"]), jnp.zeros(3))
+
+        def loss_of(params, tiles):
+            m = model.replace(**params)
+            st = settings._replace(assemble=not tiles)
+            out = render(st, m, *args, include_feature=True, topk=4)
+            fn = trainer.gram_cos_loss_tiles if tiles else trainer.gram_cos_loss
+            return fn(m.codebooks, out.language_feature_weight_map,
+                      table, seg, 0)
+
+        params = trainer.feature_params(model)
+        v_i, g_i = jax.value_and_grad(lambda p: loss_of(p, False))(params)
+        v_t, g_t = jax.value_and_grad(lambda p: loss_of(p, True))(params)
+        np.testing.assert_allclose(float(v_t), float(v_i), rtol=1e-6)
+        for k in g_i:
+            np.testing.assert_allclose(g_t[k], g_i[k], atol=1e-6, err_msg=k)
+
     def test_quick_matches_training_after_merge(self, rng):
         """Merged quick-render weights reproduce the dense top-k blend."""
         n = 30
