@@ -50,8 +50,19 @@ GAUSS_MASK = (1 << 20) - 1
 
 def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
                    win_buf, sem, *, n_gauss_cols: int, max_windows: int,
-                   sentinel_tile: int, exact_cull: bool):
-    c = pl.program_id(0)
+                   sentinel_tile: int, exact_cull: bool, group: int):
+    p = pl.program_id(0)
+    for g in range(group):                 # static unroll: amortizes the
+        _expand_one_chunk(                 # ~5us per-program floor
+            p * group + g, g, g_start_ref, rows_hbm, tile_out, depth_out,
+            gauss_out, win_buf, sem, n_gauss_cols=n_gauss_cols,
+            max_windows=max_windows, sentinel_tile=sentinel_tile,
+            exact_cull=exact_cull)
+
+
+def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
+                      gauss_out, win_buf, sem, *, n_gauss_cols: int,
+                      max_windows: int, sentinel_tile: int, exact_cull: bool):
     e0 = c * CHUNK
     gs = g_start_ref[c]
 
@@ -172,14 +183,14 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
         thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0) + 1e-4
         owned = owned & (q_min <= thresh)
 
-    tile_out[0] = jnp.where(owned, tile, float(sentinel_tile)).astype(jnp.int32)
-    depth_out[0] = jnp.where(owned, depth, 0.0)
-    gauss_out[0] = jnp.where(owned, gid, 0.0).astype(jnp.int32)
+    tile_out[g] = jnp.where(owned, tile, float(sentinel_tile)).astype(jnp.int32)
+    depth_out[g] = jnp.where(owned, depth, 0.0)
+    gauss_out[g] = jnp.where(owned, gid, 0.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_x", "grid_y", "max_entries", "max_windows", "exact_cull",
-    "interpret"))
+    "group", "interpret"))
 def expand_entries_pallas(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -189,6 +200,7 @@ def expand_entries_pallas(
     opacities=None,           # [N] activated; required when exact_cull
     max_windows: int | None = None,
     exact_cull: bool = False,
+    group: int = 4,           # chunks per grid program (overhead amortizer)
     interpret: bool = False,
 ):
     """Expand gaussians to per-entry (tile_id, depth, gauss_id).
@@ -209,7 +221,8 @@ def expand_entries_pallas(
     offsets = jnp.cumsum(tiles) - tiles
     total = jnp.minimum(jnp.sum(tiles), max_entries)
 
-    n_chunks = -(-max_entries // CHUNK)
+    n_progs = -(-(-(-max_entries // CHUNK)) // group)
+    n_chunks = n_progs * group
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
     g_start = jnp.maximum(
         jnp.searchsorted(offsets, chunk_starts, side="right").astype(jnp.int32) - 1,
@@ -246,22 +259,24 @@ def expand_entries_pallas(
         zeros,
     ], axis=0)                                     # [ROW_W, N] field-major
     pad_cols = jnp.zeros((ROW_W, n_pad - n), jnp.float32)
-    # Padding columns own no entries but terminate the window sweep.
-    pad_cols = pad_cols.at[3, :].set(float(max_entries + 1))
+    # Padding columns own no entries but terminate the window sweep — also
+    # for the group-padding chunks whose entry ids exceed max_entries
+    # (hence "huge", not max_entries+1).
+    pad_cols = pad_cols.at[3, :].set(3.0e38)
     rows = jnp.concatenate([rows, pad_cols], axis=1)
 
     kernel = functools.partial(
         _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
-        sentinel_tile=grid_x * grid_y, exact_cull=exact_cull)
+        sentinel_tile=grid_x * grid_y, exact_cull=exact_cull, group=group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK), lambda c, *_: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((ROW_W, WINDOW), jnp.float32),

@@ -50,6 +50,89 @@ class SamMaskGenerator:
         return self.generator.generate(image)  # 4-tuple in the langsplat fork
 
 
+class ClusterMaskGenerator:
+    """Weights-free 4-granularity segmenter: k-means over (color, position)
+    features followed by connected-component splitting, one clustering per
+    granularity (finer = more clusters, mirroring SAM's s/m/l ordering).
+
+    This is NOT a SAM substitute semantically — it exists so the whole
+    preprocess stage (mask NMS, crop/pad/224, seg-index bookkeeping, CLIP
+    encoding, the _s/_f npy contract) runs end-to-end in environments
+    where the SAM checkpoint cannot exist, and as a baseline segmenter for
+    scenes where color regions track objects. Mask dicts carry the same
+    keys the SAM wrapper produces (segmentation, bbox, predicted_iou,
+    stability_score — SURVEY.md §2.3(c))."""
+
+    # clusters per granularity: 0=default, 1=s(fine), 2=m, 3=l(coarse)
+    LEVEL_CLUSTERS = (24, 48, 16, 6)
+
+    def __init__(self, seed: int = 42, min_area: int | None = None,
+                 position_weight: float = 0.5):
+        self.seed = seed
+        self.min_area = min_area   # None: adaptive, ~hw/1000 in [16, 256]
+        self.position_weight = position_weight
+
+    def _masks_for(self, image: np.ndarray, k: int):
+        import cv2
+
+        h, w = image.shape[:2]
+        min_area = (self.min_area if self.min_area is not None
+                    else int(np.clip(h * w // 1000, 16, 256)))
+        k = max(2, min(k, h * w // (4 * min_area)))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        feats = np.concatenate([
+            image.reshape(h * w, -1).astype(np.float32) / 255.0,
+            (self.position_weight * yy / h).reshape(-1, 1),
+            (self.position_weight * xx / w).reshape(-1, 1),
+        ], axis=1)
+        # cv2.kmeans: fast, deterministic with a fixed seed via the
+        # KMEANS_PP init on a fixed RNG state.
+        cv2.setRNGSeed(self.seed)
+        _, labels, _ = cv2.kmeans(
+            feats, k, None,
+            (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 10, 1.0),
+            1, cv2.KMEANS_PP_CENTERS)
+        labels = labels.reshape(h, w)
+        out = []
+        for c in range(k):
+            cluster = (labels == c).astype(np.uint8)
+            if cluster.sum() < min_area:
+                continue
+            n_cc, cc = cv2.connectedComponents(cluster)
+            for comp in range(1, n_cc):
+                seg = cc == comp
+                area = int(seg.sum())
+                if area < min_area:
+                    continue
+                ys, xs = np.nonzero(seg)
+                x0, y0 = int(xs.min()), int(ys.min())
+                out.append({
+                    "segmentation": seg,
+                    "bbox": [x0, y0, int(xs.max()) - x0 + 1,
+                             int(ys.max()) - y0 + 1],
+                    "predicted_iou": 1.0,
+                    "stability_score": 1.0,
+                })
+        return out
+
+    def __call__(self, image: np.ndarray):
+        out = []
+        for k in self.LEVEL_CLUSTERS:
+            masks = self._masks_for(image, k)
+            if not masks:
+                # Degenerate inputs (tiny/noise images): a full-frame mask
+                # keeps the level non-empty, which the pipeline requires.
+                h, w = image.shape[:2]
+                masks = [{
+                    "segmentation": np.ones((h, w), bool),
+                    "bbox": [0, 0, w, h],
+                    "predicted_iou": 1.0,
+                    "stability_score": 1.0,
+                }]
+            out.append(masks)
+        return tuple(out)
+
+
 class PreprocessPipeline:
     def __init__(self, mask_generator: Callable, clip_backend: str = "auto"):
         self.mask_generator = mask_generator

@@ -28,15 +28,31 @@ def main():
     parser.add_argument("--sam_ckpt", type=str,
                         default="ckpts/sam_vit_h_4b8939.pth")
     parser.add_argument("--clip_backend", type=str, default="auto")
+    # "sam": the reference's ViT-H generator (needs the checkpoint);
+    # "cluster": weights-free color/position k-means fallback;
+    # "auto": sam when its checkpoint+package load, else cluster.
+    parser.add_argument("--mask_backend", type=str, default="auto",
+                        choices=["auto", "sam", "cluster"])
     args = parser.parse_args()
     seed_everything(42)
 
     from langsplatv2_tpu.preprocess.pipeline import (
-        PreprocessPipeline, SamMaskGenerator, load_images)
+        ClusterMaskGenerator, PreprocessPipeline, SamMaskGenerator,
+        load_images)
 
     images, names = load_images(args.dataset_path, args.resolution)
     print(f"loaded {len(images)} images")
-    mask_generator = SamMaskGenerator(args.sam_ckpt)
+    if args.mask_backend == "sam":
+        mask_generator = SamMaskGenerator(args.sam_ckpt)
+    elif args.mask_backend == "cluster":
+        mask_generator = ClusterMaskGenerator()
+    else:
+        try:
+            mask_generator = SamMaskGenerator(args.sam_ckpt)
+        except Exception as e:
+            print(f"SAM unavailable ({e}); using the cluster fallback "
+                  "segmenter")
+            mask_generator = ClusterMaskGenerator()
     pipeline = PreprocessPipeline(mask_generator, args.clip_backend)
     save_folder = os.path.join(args.dataset_path, "language_features")
     pipeline.run(images, names, save_folder)

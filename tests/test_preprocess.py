@@ -108,3 +108,48 @@ class TestPipeline:
         assert s.shape == (4, 64, 64) and f.shape == (9, 512)
         # Contract with Camera.get_language_feature: ids index rows of f.
         assert s.max() == f.shape[0] - 1
+
+
+class TestClusterSegmenter:
+    """The weights-free fallback segmenter must carry the whole preprocess
+    stage end-to-end: SAM-contract mask dicts -> NMS -> crops -> CLIP ->
+    the _s/_f npy contract that Camera.get_language_feature(_compact)
+    consumes."""
+
+    def test_end_to_end_npy_contract(self, tmp_path):
+        from langsplatv2_tpu.preprocess.pipeline import (
+            ClusterMaskGenerator, PreprocessPipeline)
+
+        rng = np.random.default_rng(0)
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[:, :48] = [200, 40, 40]      # two clear color regions
+        img[:, 48:] = [40, 40, 200]
+        img[20:40, 30:60] = [40, 200, 40]  # an object straddling both
+        img = np.clip(img.astype(np.int32)
+                      + rng.integers(-8, 8, img.shape), 0, 255).astype(np.uint8)
+
+        gen = ClusterMaskGenerator()
+        levels = gen(img)
+        assert len(levels) == 4 and all(len(l) > 0 for l in levels)
+        for m in levels[0]:
+            assert set(m) >= {"segmentation", "bbox", "predicted_iou",
+                              "stability_score"}
+            assert m["segmentation"].shape == img.shape[:2]
+
+        pipe = PreprocessPipeline(gen, clip_backend="hash")
+        pipe.run([img], ["img_001.png"], str(tmp_path))
+        seg = np.load(tmp_path / "img_001_s.npy")
+        feats = np.load(tmp_path / "img_001_f.npy")
+        assert seg.shape == (4, 64, 96) and seg.dtype.kind == "i"
+        assert feats.shape[1] == 512
+        assert seg.max() == feats.shape[0] - 1   # shared-table indexing
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+
+        # The training-side consumer reads it back.
+        from langsplatv2_tpu.scene.cameras import Camera
+        cam = Camera(0, np.eye(3), np.zeros(3), 1.0, 0.8,
+                     np.zeros((3, 64, 96), np.float32), "img_001", 0)
+        table, seg1 = cam.get_language_feature_compact(str(tmp_path), 1)
+        assert table.shape == feats.shape
+        assert seg1.shape == (64, 96)
