@@ -371,13 +371,17 @@ def _rgb_core_vjp_bwd(settings, res, cot):
         grid_x=grid_x, grid_y=grid_y, interpret=interp)
 
     entry_valid = lax.bitcast_convert_type(valid_f, jnp.int32) > 0
+    # Scatter 64-wide, not N_GRAD(9)-wide: narrow scatter-adds hit a ~5x
+    # performance cliff on this hardware (measured 171 ms at width 12 vs
+    # 37 ms at width 64 for the same update count).
+    scat_w = 64
     dgrad = jnp.where(
         jnp.pad(entry_valid,
                 (0, dgrad.shape[0] - entry_valid.shape[0]))[:, None],
-        dgrad[:, :N_GRAD], 0.0)
+        dgrad[:, :scat_w], 0.0)
     e = g_sorted.shape[0]
-    per_gauss = jnp.zeros((n, N_GRAD), jnp.float32).at[g_sorted].add(
-        dgrad[:e])
+    per_gauss = jnp.zeros((n, scat_w), jnp.float32).at[g_sorted].add(
+        dgrad[:e])[:, :N_GRAD]
 
     d_xy = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]

@@ -484,9 +484,14 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
     d_dense = jnp.zeros((n, feat_k), jnp.float32).at[g_sorted].add(
         dfeat_entries[:e])
     # VJP of the on-chip scatter: each top-k lane's gradient is the dense
-    # gradient at its channel.
-    d_qw = jnp.take_along_axis(d_dense, quick_indices.astype(jnp.int32),
-                               axis=1)
+    # gradient at its channel. As compare + einsum, NOT take_along_axis —
+    # per-element gathers run at ~90M elem/s on this hardware (40 ms for
+    # [300k, 64] -> 12; the einsum form is sub-ms on the MXU).
+    ch = jnp.arange(feat_k, dtype=jnp.int32)
+    onehot = (quick_indices.astype(jnp.int32)[:, :, None]
+              == ch[None, None, :]).astype(jnp.float32)       # [N, S, C]
+    d_qw = jnp.einsum("nc,njc->nj", d_dense, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
 
     zeros = [None if a is None else jnp.zeros_like(a) for a in args]
     zeros[-2] = d_qw
