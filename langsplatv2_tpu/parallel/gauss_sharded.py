@@ -51,7 +51,10 @@ def rasterize_gauss_sharded(
 ):
     """Forward render with Gaussians sharded over `axis` (a 1-D mesh axis;
     the same chips own contiguous tile strips). Per-Gaussian arrays must be
-    shardable: N divisible by mesh.shape[axis].
+    shardable: N divisible by mesh.shape[axis]. Colors must be precomputed
+    (`colors_precomp`; evaluate SH with ops.projection.sh_to_color first —
+    it is embarrassingly parallel over the shard, the exchange payload
+    carries the resulting RGB).
 
     Returns (rgb [3,H,W], feature_map | None, final_t [H,W],
     total_entries [], dropped_entries []) — `dropped_entries` > 0 means a
