@@ -31,3 +31,36 @@ with deterministic segment-sums.
 __version__ = "0.1.0"
 
 CLIP_DIM = 512  # CLIP ViT-B-16 feature dimension (reference preprocess.py:28-30)
+
+
+def _honor_jax_platforms_env() -> None:
+    """Make the JAX_PLATFORMS env var effective even under sitecustomize.
+
+    This environment pre-imports jax at interpreter startup (axon TPU PJRT
+    plugin registration), after which the JAX_PLATFORMS environment variable
+    of a *subprocess* is silently ignored — `JAX_PLATFORMS=cpu python ...`
+    still lands on the tunneled TPU. Backend initialization is lazy, so
+    re-applying the env var to jax.config at package import (before any
+    device is touched) restores the documented env-var contract. CLI tests
+    rely on this to run their subprocesses on the host CPU instead of
+    contending for the single real chip over the tunnel.
+    """
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    # "axon" is this environment's baseline (exported for every process by
+    # the kernel env), not a user override — re-applying it here would
+    # clobber an explicit jax.config.update("jax_platforms", ...) made
+    # before this package was imported (e.g. the test conftest forcing cpu).
+    if not plat or plat == "axon":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != plat:
+            jax.config.update("jax_platforms", plat)
+    except Exception:  # backend already initialized (too late) — leave it
+        pass
+
+
+_honor_jax_platforms_env()

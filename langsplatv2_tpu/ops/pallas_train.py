@@ -461,6 +461,12 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
 
     (entry_geom, tile_start, tile_count, g_sorted, entry_valid,
      quick_indices), args = res
+    # Contract: this route only differentiates the FEATURE MAP. The rgb /
+    # final_transmittance / radii / total cotangents are intentionally
+    # dropped (feature-phase losses never touch them — geometry is frozen,
+    # reference train.py:212-259); a future loss term on rgb or final_T
+    # during feature training would silently get zero gradient here and
+    # must extend the W-replay backward instead.
     g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot = cotangents
     grid_x, grid_y = settings.grid_x, settings.grid_y
     n = quick_indices.shape[0]

@@ -75,9 +75,6 @@ def receive():
     message = read()
     width = int(message["resolution_x"])
     height = int(message["resolution_y"])
-    if width == 0 or height == 0:
-        return None, None, None, None, None, None
-
     do_training = bool(message["train"])
     fovy = float(message["fov_y"])
     fovx = float(message["fov_x"])
@@ -87,6 +84,13 @@ def receive():
     do_rot_scale_python = bool(message["rot_scale_python"])
     keep_alive = bool(message["keep_alive"])
     scaling_modifier = float(message["scaling_modifier"])
+    if width == 0 or height == 0:
+        # Zero-resolution request (e.g. minimized viewer window): no camera
+        # to render, but the train/keep_alive flags must still be honored or
+        # poll()'s break condition can never fire and training stalls
+        # (reference parses the flags regardless of resolution).
+        return (None, do_training, do_shs_python, do_rot_scale_python,
+                keep_alive, scaling_modifier)
     world_view = np.asarray(message["view_matrix"],
                             np.float32).reshape(4, 4)
     world_view[:, 1] = -world_view[:, 1]

@@ -20,15 +20,20 @@ import optax
 ADAM_EPS = 1e-15  # reference gaussian_model.py:259
 
 
-def adam_group(lr: float | Callable) -> optax.GradientTransformation:
+def adam_group(lr: float | Callable, every: int = 1) -> optax.GradientTransformation:
     """Adam(b1=.9, b2=.999, eps=1e-15) with constant or scheduled LR.
 
     A scheduled LR receives the 1-based iteration (the reference calls
-    update_learning_rate(iteration) before each step, train.py:131)."""
+    update_learning_rate(iteration) before each step, train.py:131). With
+    gradient accumulation the optimizer only steps every `every`-th
+    iteration, so the stored update count advances `every`x slower than the
+    reference's iteration counter — `every` rescales it so scheduled groups
+    still see the true iteration (update u happens at iteration
+    (u+1)*every)."""
     if callable(lr):
         return optax.chain(
             optax.scale_by_adam(eps=ADAM_EPS),
-            optax.scale_by_schedule(lambda count: -lr(count + 1)),
+            optax.scale_by_schedule(lambda count: -lr((count + 1) * every)),
         )
     return optax.chain(optax.scale_by_adam(eps=ADAM_EPS), optax.scale(-lr))
 

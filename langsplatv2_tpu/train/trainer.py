@@ -37,8 +37,13 @@ def feature_params(model: GaussianModel) -> dict:
     return {k: getattr(model, k) for k in FEATURE_PARAM_NAMES}
 
 
-def make_rgb_optimizer(opt, spatial_lr_scale: float) -> GroupedOptimizer:
-    """Six param groups with the reference LRs (gaussian_model.py:244-257)."""
+def make_rgb_optimizer(opt, spatial_lr_scale: float,
+                       accum_iter: int = 1) -> GroupedOptimizer:
+    """Six param groups with the reference LRs (gaussian_model.py:244-257).
+
+    `accum_iter` keys the xyz LR schedule to the TRUE iteration when
+    gradient accumulation makes optimizer steps rarer than iterations
+    (reference update_learning_rate(iteration), train.py:131)."""
     xyz_schedule = expon_lr_func(
         lr_init=opt.position_lr_init * spatial_lr_scale,
         lr_final=opt.position_lr_final * spatial_lr_scale,
@@ -46,7 +51,7 @@ def make_rgb_optimizer(opt, spatial_lr_scale: float) -> GroupedOptimizer:
         max_steps=opt.position_lr_max_steps,
     )
     return GroupedOptimizer({
-        "xyz": adam_group(xyz_schedule),
+        "xyz": adam_group(xyz_schedule, every=accum_iter),
         "features_dc": adam_group(opt.feature_lr),
         "features_rest": adam_group(opt.feature_lr / 20.0),
         "opacity": adam_group(opt.opacity_lr),
@@ -550,7 +555,7 @@ def train_rgb(
 
     Returns (model, opt_state, logs)."""
     iterations = iterations or opt.iterations
-    optimizer = make_rgb_optimizer(opt, model.spatial_lr_scale)
+    optimizer = make_rgb_optimizer(opt, model.spatial_lr_scale, accum_iter)
     if opt_state is None:
         opt_state = optimizer.init(rgb_params(model))
     accum = init_rgb_accum(model) if accum_iter > 1 else None

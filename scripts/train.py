@@ -50,8 +50,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tile_cap", type=int, default=1024)
     parser.add_argument("--max_entries", type=int, default=2 ** 21)
-    # Rasterizer implementation for the RGB phase: "auto" (XLA autodiff
-    # pipeline), "pallas" (streaming forward + RGB Pallas backward).
+    # Rasterizer implementation for the RGB phase: "auto" selects the
+    # Pallas forward + RGB Pallas backward on real TPUs and the XLA
+    # autodiff pipeline elsewhere; "xla"/"pallas" force one path.
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas"])
     # Capture a jax.profiler trace of iterations [100, 110) to this dir
@@ -244,7 +245,8 @@ def main():
 
         init_opt_state = restore_opt_state(
             model, trainer.rgb_params,
-            lambda: trainer.make_rgb_optimizer(opt, model.spatial_lr_scale))
+            lambda: trainer.make_rgb_optimizer(opt, model.spatial_lr_scale,
+                                               args.accum_iter))
         model, final_opt_state, logs = trainer.train_rgb(
             model, cameras, opt, scene.cameras_extent,
             iterations=args.iterations, first_iter=first_iter,
