@@ -88,24 +88,25 @@ def main():
     # arrays become inlined constants and blow up the remote compile
     # (~7 minutes measured vs ~1 with args).
     def make_frame(settings):
+        from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
         @jax.jit
         def frame_query(view, proj, means_d, op_d, sc_d, rot_d, col_d,
                         qw_d, qi_d, phi_d, gram_d):
-            """Production path: weight-map tiles + Gram relevancy query."""
-            out = rasterize(
-                settings, means_d, op_d, view, proj,
-                jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
-                scales=sc_d, rotations=rot_d, colors_precomp=col_d,
-                quick_weights=qw_d, quick_indices=qi_d,
-                quick_channels=L * K)
-            tiles = out.feature_map                   # [T, P, L*K] tile layout
-            t, p, _ = tiles.shape
-            wm = tiles.reshape(t * p, L, K).astype(jnp.bfloat16)
-            raw = jnp.einsum("qlk,lkp->lqp", wm, phi_d.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-            wg = jnp.einsum("qlk,lkm->lqm", wm, gram_d.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            nrm2 = jnp.sum(wg * wm.transpose(1, 0, 2), axis=-1)   # [L, Q]
+            """Production path: fast16 quick render with the Gram relevancy
+            query FUSED into the blend kernel (the [T, P, 192] weight-map
+            tiles never reach HBM — only [T, P, L*PQ] raw scores and
+            [T, P, L] Gram norms do)."""
+            rgb, raw_t, nrm2_t, final_t, radii, total, live = \
+                rasterize_quick_query(
+                    settings, means_d, op_d, view, proj,
+                    jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                    scales=sc_d, rotations=rot_d, colors_precomp=col_d,
+                    quick_weights=qw_d, quick_indices=qi_d,
+                    phi=phi_d, gram=gram_d, quick_channels=L * K)
+            t, p, _ = raw_t.shape
+            raw = raw_t.reshape(t * p, L, NPOS + NNEG).transpose(1, 0, 2)
+            nrm2 = nrm2_t.reshape(t * p, L).T                     # [L, Q]
             sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
             pos = sim[..., :NPOS]
             neg = sim[..., NPOS:]
@@ -120,7 +121,7 @@ def main():
             heat = rasterize_tiles.tiles_to_image(
                 relev.transpose(1, 0, 2).reshape(t, p, L * NPOS),
                 settings.grid_x, settings.grid_y, H, W)
-            return out.rgb, heat, out.total_entries
+            return rgb, heat, total, live
         return frame_query
 
     settings0 = RasterizeSettings(
@@ -134,28 +135,35 @@ def main():
 
     t0 = time.time()
     frame0 = make_frame(settings0)
-    rgb, relev, tot = frame0(view, proj, *scene_args)
+    rgb, relev, tot, live = frame0(view, proj, *scene_args)
     _ = float(jnp.asarray(rgb[0, 0, 0]))
-    tot = int(tot)
-    log(f"compile+first frame: {time.time() - t0:.1f}s entries={tot}")
+    tot, live = int(tot), int(live)
+    log(f"compile+first frame: {time.time() - t0:.1f}s entries={tot} "
+        f"live={live}")
     log("rgb finite:", bool(jnp.isfinite(rgb).all()),
         "relevancy finite:", bool(jnp.isfinite(relev).all()))
 
-    # Adaptive tight budget: pay one recompile for a gather/sort/blend
-    # sized to the scene (+7% headroom, checked against overflow below).
+    # Adaptive tight budgets: pay one recompile for an expand/sort sized to
+    # the pre-cull total and a gather/blend sized to the post-cull LIVE
+    # prefix (+7% headroom each, checked against overflow below).
     budget = min(-(-int(tot * 1.07) // 4096) * 4096, 5_300_000)
+    live_budget = min(-(-int(live * 1.07) // 4096) * 4096, budget)
     t0 = time.time()
-    settings = settings0._replace(max_entries=budget)
+    settings = settings0._replace(max_entries=budget,
+                                  live_entries=live_budget)
     frame_tight = make_frame(settings)
 
     def frame_query(view, proj):
         return frame_tight(view, proj, *scene_args)
 
-    rgb, relev, tot2 = frame_query(view, proj)
+    rgb, relev, tot2, live2 = frame_query(view, proj)
     _ = float(jnp.asarray(rgb[0, 0, 0]))
-    log(f"tight-budget recompile ({budget}): {time.time() - t0:.1f}s")
+    log(f"tight-budget recompile (total {budget}, live {live_budget}): "
+        f"{time.time() - t0:.1f}s")
     if int(tot2) >= budget:
         log("WARNING: entry budget saturated - output may be truncated")
+    if int(live2) > live_budget:
+        log("WARNING: live budget saturated - far entries clamped")
 
     # Secondary: the reference's literal decode formulation (512-d lift).
     settings_dec = settings._replace(assemble=True)
@@ -241,7 +249,7 @@ def main():
     @jax.jit
     def frames_scan(view, proj, eps, *scene):
         def body(carry, e):
-            rgb, heat, tot = frame_tight.__wrapped__(
+            rgb, heat, tot, _live = frame_tight.__wrapped__(
                 view.at[3, 0].add(e), proj, *scene)
             return carry + rgb[0, 0, 0] + heat[0, 0, 0], tot
 

@@ -111,27 +111,33 @@ def _exclusive_cumprod_lanes(one_minus: jnp.ndarray, width: int) -> jnp.ndarray:
 def _blend_kernel(
     # scalar prefetch
     start_ref, count_ref, tid_ref,
-    # inputs (HBM, field-major [W, E_pad])
-    geom_hbm, feat_hbm,
-    # outputs (VMEM blocks)
-    acc_out, t_out,
-    # scratch
-    geom_buf, feat_buf, acc, t_carry, t_test, sems,
-    *,
+    # inputs (HBM, field-major [W, E_pad]) + optional query constants (VMEM)
+    geom_hbm, feat_hbm, *rest,
+    # keyword-only statics
     chunk: int,
     grid_x: int,
     num_tiles: int,
     mode: str,            # "rgb" | "dense" | "quick"
     acc_width: int,
+    out_width: int,       # acc_out channel width (== acc_width unless query)
     topk: int,
     tile_batch: int,
     combined: bool,       # entry_geom is [32, E]: geom rows 0:16 + feat 16:32
     rowfmt: str,          # "f32" | "fast16"
     banded: bool,         # fast16: indices respect 64-wide level bands
+    query: bool,          # fuse the Gram relevancy query into the epilogue
 ):
+    if query:
+        (phi_vmem, gram_vmem, band_vmem, acc_out, t_out,
+         geom_buf, feat_buf, acc, t_carry, t_test, sems) = rest
+    else:
+        (acc_out, t_out,
+         geom_buf, feat_buf, acc, t_carry, t_test, sems) = rest
     i = pl.program_id(0)
     fast = rowfmt == "fast16"
-    has_feat_dma = mode in ("dense", "quick") and not combined and not fast
+    packed = rowfmt == "f32pack"
+    has_feat_dma = (mode in ("dense", "quick") and not combined and not fast
+                    and not packed)
 
     def tile_info(k):
         idx = i * tile_batch + k
@@ -343,7 +349,13 @@ def _blend_kernel(
                             jnp.float32)
                 f_rows = jnp.concatenate([r_row, g_row, b_row, dense], axis=0)
             else:  # quick f32: expand packed (weights, idx pairs) on-chip
-                if combined:
+                if packed:
+                    # f32pack (training): the topk<=4 weights ride the SAME
+                    # 16-wide geometry row (rows wbase:wbase+topk) — one
+                    # w16 gather for the whole entry state, full f32.
+                    wbase = QUICK_PCOL + (topk + 1) // 2
+                    fb = g[wbase:wbase + topk, :]
+                elif combined:
                     fb = g_all[GEOM_W:GEOM_W + 16]  # [16, chunk]: w0..w11
                 else:
                     feat_dma(slot, start, c).wait()
@@ -397,7 +409,27 @@ def _blend_kernel(
             if has_feat_dma:
                 feat_dma(base + c_exit % 2, start, c_exit).wait()
 
-        acc_out[k] = acc[...]
+        if query:
+            # Fused Gram relevancy epilogue: the [P, L*K] weight-map tile
+            # never leaves VMEM — only the per-prompt raw scores and the
+            # per-level Gram norms are written to HBM (~10x less output
+            # traffic than the 192-channel map, and the XLA-side einsum
+            # passes over a ~1.6GB feature map disappear entirely).
+            wm = acc[:, F16_FEAT_COL:]                       # [P, LK]
+            raw = lax.dot_general(                            # [P, L*PQ]
+                wm, phi_vmem[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # bf16 pass ==
+            wg = lax.dot_general(                             # the XLA query's
+                wm, gram_vmem[...], (((1,), (0,)), ((), ())), # bf16 einsums
+                preferred_element_type=jnp.float32)           # [P, LK]
+            nrm2 = lax.dot_general(
+                wg * wm, band_vmem[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)              # [P, L]
+            acc_out[k] = jnp.concatenate(
+                [acc[:, :F16_FEAT_COL], raw, nrm2], axis=1)
+        else:
+            acc_out[k] = acc[...]
         t_out[k] = t_carry[...]
         return carry
 
@@ -439,10 +471,78 @@ def blend_tiles_pallas(
     rowfmt="fast16", the WHOLE quick entry state travels in one packed
     [16, E] array (pack_fast16_rows) and `entry_feat` is ignored.
     """
+    return _blend_call(
+        entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
+        None, None, None, grid_x=grid_x, grid_y=grid_y, mode=mode,
+        out_channels=out_channels, topk=topk, chunk=chunk,
+        tile_batch=tile_batch, combined=combined, rowfmt=rowfmt,
+        banded=banded, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_x", "grid_y", "out_channels", "topk",
+                     "chunk", "tile_batch", "banded", "interpret"),
+)
+def blend_tiles_query(
+    entry_geom: jnp.ndarray,    # [16, E_pad] fast16 rows, field-major
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    bg: jnp.ndarray,
+    phi: jnp.ndarray,           # [L, K, PQ] codebook·phrase fold
+    gram: jnp.ndarray,          # [L, K, K] codebook Gram matrices
+    *,
+    grid_x: int,
+    grid_y: int,
+    out_channels: int,          # L*K
+    topk: int = 12,
+    chunk: int = 256,
+    tile_batch: int = 8,
+    banded: bool = True,
+    interpret: bool = False,
+):
+    """fast16 quick blend with the Gram relevancy query FUSED as a kernel
+    epilogue: returns (rgb [T,P,3], raw [T,P,L*PQ], nrm2 [T,P,L],
+    final_T [T,P]) where raw[t,p, l*PQ+q] = sum_k wm[l,k]·phi[l,k,q] and
+    nrm2[t,p,l] = wm[l]·gram[l]·wm[l] — everything a relevancy heatmap
+    needs (eval_lerf.py:210-220 formulation), without ever writing the
+    [T, P, L*K] weight-map tiles to HBM."""
+    L, K, PQ = phi.shape
+    assert out_channels == L * K
+    # Block-diagonal lifts so the per-level einsums become single matmuls
+    # against the flat [P, L*K] accumulator rows.
+    phi_mat = jnp.zeros((L * K, L * PQ), jnp.float32)
+    gram_mat = jnp.zeros((L * K, L * K), jnp.float32)
+    band = jnp.zeros((L * K, L), jnp.float32)
+    for lvl in range(L):
+        phi_mat = phi_mat.at[lvl * K:(lvl + 1) * K,
+                             lvl * PQ:(lvl + 1) * PQ].set(phi[lvl])
+        gram_mat = gram_mat.at[lvl * K:(lvl + 1) * K,
+                               lvl * K:(lvl + 1) * K].set(gram[lvl])
+        band = band.at[lvl * K:(lvl + 1) * K, lvl].set(1.0)
+    dummy_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+    rgb, (raw, nrm2), final_t = _blend_call(
+        entry_geom, dummy_feat, tile_start, tile_count, tile_ids, bg,
+        phi_mat, gram_mat, band, grid_x=grid_x, grid_y=grid_y, mode="quick",
+        out_channels=out_channels, topk=topk, chunk=chunk,
+        tile_batch=tile_batch, combined=False, rowfmt="fast16",
+        banded=banded, interpret=interpret)
+    return rgb, raw, nrm2, final_t
+
+
+def _blend_call(
+    entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
+    query_phi, query_gram, query_band, *,
+    grid_x, grid_y, mode, out_channels, topk, chunk, tile_batch,
+    combined, rowfmt, banded, interpret,
+):
     assert not (combined and mode == "dense"), \
         "combined rows carry only 16 feature rows"
     fast = rowfmt == "fast16"
     assert not fast or mode == "quick", "fast16 is a quick-mode format"
+    query = query_phi is not None
+    assert not query or fast, "the fused query rides the fast16 quick path"
     if banded:
         assert out_channels % LEVEL_BAND == 0
         assert topk % (out_channels // LEVEL_BAND) == 0
@@ -454,6 +554,12 @@ def blend_tiles_pallas(
         acc_width = F16_FEAT_COL + out_channels
     else:
         acc_width = FEAT_COL + max(out_channels, 1)
+    if query:
+        n_raw = query_phi.shape[1]
+        n_lvl = query_band.shape[1]
+        out_width = F16_FEAT_COL + n_raw + n_lvl
+    else:
+        out_width = acc_width
     geom_w = entry_geom.shape[0]
     feat_w = entry_feat.shape[0]
 
@@ -469,19 +575,28 @@ def blend_tiles_pallas(
     kernel = functools.partial(
         _blend_kernel,
         chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
-        acc_width=acc_width, topk=topk, tile_batch=tile_batch,
-        combined=combined, rowfmt=rowfmt, banded=banded,
+        acc_width=acc_width, out_width=out_width, topk=topk,
+        tile_batch=tile_batch, combined=combined, rowfmt=rowfmt,
+        banded=banded, query=query,
     )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    inputs = [entry_geom, entry_feat]
+    if query:
+        for arr in (query_phi, query_gram, query_band):
+            in_specs.append(pl.BlockSpec(
+                arr.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM))
+            inputs.append(arr)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_prog,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tile_batch, P, acc_width), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tile_batch, P, out_width), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_batch, P, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -500,11 +615,11 @@ def blend_tiles_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, acc_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, out_width), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, P, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_start, tile_count, tile_ids, entry_geom, entry_feat)
+    )(tile_start, tile_count, tile_ids, *inputs)
 
     acc_t = acc_t[:n_local]
     t_t = t_t[:n_local]
@@ -512,7 +627,12 @@ def blend_tiles_pallas(
     rgb_col = F16_RGB_COL if fast else RGB_COL
     rgb = (acc_t[:, :, rgb_col:rgb_col + 3]
            + final_t[..., None] * bg[None, None, :])
-    if mode == "rgb":
+    if query:
+        n_raw = query_phi.shape[1]
+        raw = acc_t[:, :, F16_FEAT_COL:F16_FEAT_COL + n_raw]
+        nrm2 = acc_t[:, :, F16_FEAT_COL + n_raw:]
+        feat = (raw, nrm2)
+    elif mode == "rgb":
         feat = None
     elif fast:
         feat = acc_t[:, :, F16_FEAT_COL:F16_FEAT_COL + out_channels]
@@ -550,6 +670,26 @@ def pack_quick_rows(xy, conic, opacities, colors, quick_weights, quick_indices):
     wrows = jnp.concatenate(
         [quick_weights, jnp.zeros((n, GEOM_W - s), xy.dtype)], axis=1)
     return geom, wrows
+
+
+def pack_quick_train_rows(xy, conic, opacities, colors, quick_weights,
+                          quick_indices):
+    """Per-gaussian packed quick state as ONE 16-wide f32 row (training
+    layout, topk <= 4 — the per-level feature phase): x y conic(3) op
+    rgb(3) idx-pairs(topk/2) weights(topk) pad. Exact f32 (unlike fast16),
+    so training numerics are identical to the two-row layout while the
+    dominant per-entry gather halves (row count x width 16 instead of
+    2 x 16; XLA row gathers are row-count-bound)."""
+    n, s = quick_weights.shape
+    assert s % 2 == 0 and 9 + s // 2 + s <= GEOM_W, \
+        "f32pack fits topk <= 4 only"
+    rgb = colors if colors is not None else jnp.zeros((n, 3), xy.dtype)
+    qi = quick_indices.astype(jnp.float32)
+    pairs = qi[:, 0::2] + PAIR_BASE * qi[:, 1::2]      # [N, s//2]
+    pad = GEOM_W - 9 - s // 2 - s
+    return jnp.concatenate(
+        [xy, conic, opacities[:, None], rgb, pairs, quick_weights,
+         jnp.zeros((n, pad), xy.dtype)], axis=1)
 
 
 def _pack2bf16(a, b):

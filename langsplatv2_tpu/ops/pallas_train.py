@@ -385,20 +385,34 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
     g_sorted, tile_start, tile_count, tile_sorted = (
         pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
 
-    rows, wrows = pallas_blend.pack_quick_rows(
-        proj.xy, proj.conic, opacities[:, 0], proj.rgb,
-        lax.stop_gradient(quick_weights), quick_indices)
-    entry_geom = pallas_blend.to_field_major(
-        lax.stop_gradient(rows)[g_sorted], chunk)
-    entry_feat = pallas_blend.to_field_major(
-        lax.stop_gradient(wrows)[g_sorted], chunk)
+    topk = quick_weights.shape[1]
+    packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4
+    if packed:
+        # Per-level training (topk <= 4): the WHOLE entry state — geometry,
+        # index pairs, weights — packs into ONE 16-wide f32 row, halving
+        # the dominant row-count-bound gather with zero precision change.
+        rows = pallas_blend.pack_quick_train_rows(
+            proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+            lax.stop_gradient(quick_weights), quick_indices)
+        entry_geom = pallas_blend.to_field_major(
+            lax.stop_gradient(rows)[g_sorted], chunk)
+        entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+    else:
+        rows, wrows = pallas_blend.pack_quick_rows(
+            proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+            lax.stop_gradient(quick_weights), quick_indices)
+        entry_geom = pallas_blend.to_field_major(
+            lax.stop_gradient(rows)[g_sorted], chunk)
+        entry_feat = pallas_blend.to_field_major(
+            lax.stop_gradient(wrows)[g_sorted], chunk)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
         entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
         grid_x=grid_x, grid_y=grid_y, mode="quick",
-        out_channels=quick_channels, topk=quick_weights.shape[1],
-        chunk=chunk, interpret=interp)
+        out_channels=quick_channels, topk=topk,
+        chunk=chunk, rowfmt="f32pack" if packed else "f32",
+        interpret=interp)
 
     rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
     # assemble=False keeps the feature map in [T, P, C] tile layout (the

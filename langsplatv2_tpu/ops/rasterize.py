@@ -78,6 +78,15 @@ class RasterizeSettings(NamedTuple):
     # relevancy queries contract the channel axis anyway, so skipping the
     # [C, H, W] scatter saves a full HBM rewrite of the 192-channel map.
     assemble: bool = True
+    # Post-cull entry budget for the gather+blend stages (0 = max_entries).
+    # The exact conic cull marks dead entries in expansion and the sort
+    # moves them to the END, so live entries are a PREFIX of the sorted
+    # order: sizing the row gather to the live count (reported as
+    # aux live_total) instead of the pre-cull budget skips gathering rows
+    # nothing will ever blend (~25% of the gather at bench density).
+    # Segments past the budget are clamped (overflow shows as
+    # live_total > live_entries).
+    live_entries: int = 0
 
     @property
     def grid_x(self) -> int:
@@ -95,6 +104,11 @@ class RasterizeOutput(NamedTuple):
     final_transmittance: jnp.ndarray  # [H, W]
     max_tile_count: jnp.ndarray       # [] int32 (overflow telemetry vs tile_cap)
     total_entries: jnp.ndarray        # [] int32 (overflow telemetry vs max_entries)
+    # [] int32: entries surviving the exact cull (sum of tile segment
+    # lengths BEFORE live_entries clamping) — the telemetry that sizes
+    # settings.live_entries, and its overflow check. None on paths that
+    # don't bin via the sorted-prefix pipeline.
+    live_total: jnp.ndarray | None = None
 
 
 def rasterize(
@@ -279,12 +293,15 @@ def _rasterize_pallas(
 
         geom_rows, feat_rows = pallas_cascade.pack_cascade_rows(
             proj, opacities[:, 0], quick_weights, quick_indices)
-        entries, tile_start, tile_count, total, _overflow = \
+        budget4 = -(-settings.max_entries // 128) * 128
+        entries, tile_start, tile_count, total, overflow = \
             pallas_cascade.cascade_binning(
                 geom_rows, feat_rows, jax.lax.stop_gradient(proj.depth),
-                grid_x, grid_y,
-                budget4=-(-settings.max_entries // 128) * 128,
-                interpret=interp)
+                grid_x, grid_y, budget4=budget4, interpret=interp)
+        # A budget-clamped cascade level silently drops entries; fold the
+        # flag into the total so the caller's existing overflow telemetry
+        # (total_entries >= max_entries) detects it like on the sort path.
+        total = jnp.where(overflow, jnp.maximum(total, budget4), total)
         if quick_weights is not None:
             mode, out_channels = "quick", quick_channels
             topk = quick_weights.shape[1]
@@ -301,12 +318,8 @@ def _rasterize_pallas(
         return _assemble(settings, proj, rgb_t, feat_t, t_t,
                          tile_count, total)
 
-    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
-        proj, grid_x, grid_y, settings.max_entries,
-        opacities=opacities[:, 0], exact_cull=True, interpret=interp)
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-    g_sorted, tile_start, tile_count, _ = pallas_binning.sorted_binning_from_keys(
-        hi, lo, num_tiles)
+    g_sorted, tile_start, tile_count, total, live_total = _sorted_quick_binning(
+        settings, proj, opacities, interp)
 
     if quick_weights is not None:
         mode, out_channels = "quick", quick_channels
@@ -353,11 +366,40 @@ def _rasterize_pallas(
         entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
         grid_x=grid_x, grid_y=grid_y, mode=mode, out_channels=out_channels,
         topk=topk, chunk=chunk, interpret=interp)
-    return _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total)
+    return _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total,
+                     live_total)
 
 
-def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total
-              ) -> RasterizeOutput:
+def _sorted_quick_binning(settings, proj, opacities, interp):
+    """Shared Pallas-path binning: expand -> packed-key sort -> tile
+    ranges, with the optional live-prefix clamp (settings.live_entries).
+
+    Dead (exact-culled / beyond-total) entries carry the sentinel tile and
+    sort to the END, so the live entries form a prefix of the sorted
+    order; when live_entries > 0 the returned g_sorted is that prefix and
+    tile segments are clamped to it. Returns
+    (g_sorted, tile_start, tile_count, total, live_total)."""
+    from . import pallas_binning
+
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+        proj, grid_x, grid_y, settings.max_entries,
+        opacities=opacities[:, 0], exact_cull=True, interpret=interp)
+    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    g_sorted, tile_start, tile_count, _ = \
+        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles)
+    live_total = jnp.sum(tile_count)
+    live = settings.live_entries
+    if 0 < live < settings.max_entries:
+        g_sorted = g_sorted[:live]
+        tile_count = jnp.clip(
+            jnp.minimum(tile_count, live - tile_start), 0, None)
+    return g_sorted, tile_start, tile_count, total, live_total
+
+
+def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total,
+              live_total=None) -> RasterizeOutput:
     """Tile-layout blend outputs -> RasterizeOutput. RGB and final-T are
     always assembled to image layout (cheap); the feature map stays in
     [T, P, C] tile layout when settings.assemble is False (the query path
@@ -378,4 +420,60 @@ def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total
         final_transmittance=final_t,
         max_tile_count=tile_count.max(),
         total_entries=total,
+        live_total=live_total,
     )
+
+
+def rasterize_quick_query(
+    settings: RasterizeSettings,
+    means3d, opacities, viewmatrix, projmatrix, campos, bg,
+    scales=None, rotations=None, shs=None, colors_precomp=None,
+    quick_weights=None, quick_indices=None,
+    phi=None,                 # [L, K, PQ] codebook . phrase embeddings
+    gram=None,                # [L, K, K] codebook Gram matrices
+    quick_channels: int = 192,
+):
+    """The production serving frame: fast16 quick render with the Gram
+    relevancy query FUSED into the blend kernel epilogue
+    (pallas_blend.blend_tiles_query) — the [T, P, L*K] weight-map tiles
+    never reach HBM; only per-prompt raw scores and per-level norms do.
+
+    Numerically matches the reference's decode-then-dot relevancy
+    (eval_lerf.py:210-220) the same way the unfused Gram query does
+    (bf16 einsum fidelity, the fast-mode contract). Returns
+    (rgb [3,H,W], raw [T,P,L*PQ], nrm2 [T,P,L], final_T [H,W],
+    radii [N], total_entries [], live_total [])."""
+    from . import pallas_blend
+
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    interp = not _pallas_supported()
+    chunk = 256
+
+    proj = projection.preprocess(
+        means3d, scales, rotations, None, shs, colors_precomp,
+        viewmatrix, projmatrix, campos,
+        settings.tanfovx, settings.tanfovy, W, H,
+        settings.sh_degree, settings.scale_modifier,
+        opacities=opacities[:, 0])
+
+    g_sorted, tile_start, tile_count, total, live_total = \
+        _sorted_quick_binning(settings, proj, opacities, interp)
+
+    rows = pallas_blend.pack_fast16_rows(
+        proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+        quick_weights, quick_indices)
+    entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+    topk = quick_weights.shape[1]
+    banded = (quick_channels % 64 == 0
+              and topk % (quick_channels // 64) == 0)
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    rgb_t, raw_t, nrm2_t, t_t = pallas_blend.blend_tiles_query(
+        entry_geom, tile_start, tile_count, tile_ids, bg, phi, gram,
+        grid_x=grid_x, grid_y=grid_y, out_channels=quick_channels,
+        topk=topk, chunk=chunk, banded=banded, interpret=interp)
+    rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
+    final_t = rasterize_tiles.tiles_to_image(
+        t_t[..., None], grid_x, grid_y, H, W)[0]
+    return rgb, raw_t, nrm2_t, final_t, proj.radius, total, live_total

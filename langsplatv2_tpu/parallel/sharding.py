@@ -146,30 +146,142 @@ def make_sharded_feature_train_step(
     layer_idx: int = 0,
     use_cos_loss: bool = True,
     use_l1_loss: bool = False,
+    loss_space: str | None = None,
 ):
     """Language-feature training step with viewpoint-batch DP over "data"
     and pixel-tile SP over "tile"; logits/codebook grads all-reduced by the
     shard_map transpose. Camera batch arrays have leading dim B divisible by
     mesh.shape['data'].
 
+    loss_space (default: "gram" for cos-only configs, else "pixel") selects
+    the GT representation, exactly like the single-chip trainer:
+    - "gram": (gt_tables [B, S, 512], seg_maps [B, H, W] int32) — the
+      cosine loss in K-dim Gram space. Per-camera GT is ~400x smaller than
+      the decoded pixel map AND each tile shard works purely in K-dim
+      space (no per-shard 512-d decode). The per-pixel sim sums psum
+      across ("data", "tile") before normalizing — the loss is linear in
+      them, so gradients match the single-chip gram step exactly.
+    - "pixel": (gt_feats [B, 512, H, W], gt_masks [B, 1, H, W]) — the
+      reference's literal formulation; required for l1.
+
     Returns jitted (model, opt_state, views[B,4,4], projs[B,4,4],
-    campos[B,3], bg[3], gt_feats[B,512,H,W], gt_masks[B,1,H,W]) ->
-    (model, opt_state, metrics).
+    campos[B,3], bg[3], gt_a, gt_b) -> (model, opt_state, metrics).
     """
     from ..train.trainer import feature_params
 
-    sharded_loss = _build_sharded_loss(mesh, settings, topk, layer_idx,
-                                       use_cos_loss, use_l1_loss)
+    if loss_space is None:
+        loss_space = "gram" if (use_cos_loss and not use_l1_loss) else "pixel"
+    if loss_space == "gram":
+        assert use_cos_loss and not use_l1_loss, \
+            "gram loss space implements the cosine loss only"
+        sharded_loss = _build_sharded_gram_loss(mesh, settings, topk,
+                                                layer_idx)
+    else:
+        sharded_loss = _build_sharded_loss(mesh, settings, topk, layer_idx,
+                                           use_cos_loss, use_l1_loss)
 
     @jax.jit
-    def step(model, opt_state, views, projs, camposs, bg, gt_feats, gt_masks):
+    def step(model, opt_state, views, projs, camposs, bg, gt_a, gt_b):
         params = feature_params(model)
         loss, grads = jax.value_and_grad(sharded_loss)(
-            params, model, views, projs, camposs, bg, gt_feats, gt_masks)
+            params, model, views, projs, camposs, bg, gt_a, gt_b)
         new_params, opt_state = optimizer.update(grads, opt_state, params)
         return model.replace(**new_params), opt_state, {"loss": loss}
 
     return step
+
+
+def make_sharded_gram_loss(mesh, settings, topk, layer_idx=0):
+    """The gram-space sharded loss (exposed for gradient-parity tests)."""
+    return _build_sharded_gram_loss(mesh, settings, topk, layer_idx)
+
+
+def _build_sharded_gram_loss(
+    mesh: Mesh,
+    settings: RasterizeSettings,
+    topk: int,
+    layer_idx: int,
+):
+    """Tile+data-sharded gram-space cosine loss.
+
+    Mirrors trainer.gram_cos_loss_tiles (single chip): each tile shard
+    blends its tiles' [P, L*K] weight maps, looks up its pixels' segment
+    rows from the replicated compact GT table, and reduces a partial
+    sum(sim); the psum over ("data", "tile") then yields the exact global
+    mean. gt_tables are sharded over "data" with the cameras."""
+    from ..train.trainer import _gram_cos_core
+
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    tile_ids_full = _padded_tile_ids(num_tiles, n_tile)
+    Ppix = rasterize_tiles.P
+
+    def sim_sum_one_camera(model: GaussianModel, view, proj_m, campos, bg,
+                           gt_table, seg_map, tile_ids_local):
+        proj = projection.preprocess(
+            model.xyz, model.get_scaling(), model.get_rotation(), None,
+            model.get_features(), None, view, proj_m, campos,
+            settings.tanfovx, settings.tanfovy, W, H,
+            model.active_sh_degree, 1.0,
+        )
+        weights = model.get_render_weights(topk)
+        binned = binning.bin_gaussians(proj, grid_x, grid_y,
+                                       settings.max_entries)
+        _, feat_t, _ = rasterize_tiles.blend_tiles(
+            proj.xy, proj.conic, model.get_opacity()[:, 0], proj.rgb,
+            weights, binned, grid_x, grid_y, bg, settings.tile_cap,
+            settings.tile_batch, tile_ids=tile_ids_local,
+        )
+        T_local = feat_t.shape[0]
+        L, K, _D = model.codebooks.shape
+
+        # This shard's pixels' segment ids; off-grid tiles and the padding
+        # rows/cols of edge tiles carry -1 (sim contribution 0).
+        seg_p = jnp.pad(seg_map, ((0, grid_y * projection.BLOCK - H),
+                                  (0, grid_x * projection.BLOCK - W)),
+                        constant_values=-1)
+        seg_tiles = seg_p.reshape(
+            grid_y, projection.BLOCK, grid_x, projection.BLOCK
+        ).transpose(0, 2, 1, 3).reshape(num_tiles, Ppix)
+        safe = jnp.minimum(tile_ids_local, num_tiles - 1)
+        in_range = tile_ids_local < num_tiles
+        seg_local = jnp.where(in_range[:, None], seg_tiles[safe], -1)
+
+        w = feat_t.reshape(T_local * Ppix, L, K).transpose(1, 2, 0)
+        return _gram_cos_core(
+            model.codebooks, w, seg_local.reshape(-1), H * W, layer_idx,
+            eps=1e-8, chunk=4096, gt_table=gt_table, reduce="sum")
+
+    def sharded_loss(params, model, views, projs, camposs, bg,
+                     gt_tables, seg_maps):
+        model = model.replace(**params)
+
+        def shard_fn(model, bg, views, projs, camposs, gt_tables, seg_maps,
+                     tile_ids_local):
+            sim = 0.0
+            B_local = views.shape[0]
+            for b in range(B_local):
+                sim = sim + sim_sum_one_camera(
+                    model, views[b], projs[b], camposs[b], bg,
+                    gt_tables[b], seg_maps[b], tile_ids_local)
+            total = jax.lax.psum(sim, ("data", "tile"))
+            # loss = mean_b (1 - S_b / HW) = 1 - sum_b S_b / (B * HW):
+            # linear in the per-pixel sims, so partial sums suffice.
+            return 1.0 - total / (B_local * n_data * H * W)
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                      P("data"), P("data"), P("tile")),
+            out_specs=P(),
+            check_rep=False,
+        )(model, bg, views, projs, camposs, gt_tables, seg_maps,
+          tile_ids_full)
+
+    return sharded_loss
 
 
 def _build_sharded_loss(

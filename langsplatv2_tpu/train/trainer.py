@@ -276,11 +276,16 @@ def gram_cos_loss_tiles(codebooks, wmap_tiles, gt_table, seg_map, layer_idx,
                           chunk=chunk, gt_table=gt_table)
 
 
-def _gram_cos_core(codebooks, w, seg_flat, hw, lay, *, eps, chunk, gt_table):
+def _gram_cos_core(codebooks, w, seg_flat, hw, lay, *, eps, chunk, gt_table,
+                   reduce: str = "mean"):
     """Shared core: w [L, K, Q] per-pixel coefficients in any pixel order,
     seg_flat [Q] segment ids (-1 = masked/padding), hw = the true pixel
     count the mean divides by (Q >= hw pixels beyond the image must carry
-    seg -1: their sim is 0, so the sum is unaffected)."""
+    seg -1: their sim is 0, so the sum is unaffected).
+
+    reduce="mean" returns the loss 1 - sum(sim)/hw; reduce="sum" returns
+    the raw sum(sim) so tile-sharded callers can psum partial sums across
+    shards before normalizing (the loss is linear in the per-pixel sims)."""
     L, K, D = codebooks.shape
     q = seg_flat.shape[0]
     cbs = [jax.lax.stop_gradient(codebooks[i]) if i < lay else codebooks[i]
@@ -325,6 +330,8 @@ def _gram_cos_core(codebooks, w, seg_flat, hw, lay, *, eps, chunk, gt_table):
     nrm = jnp.where(covered, jnp.sqrt(jnp.where(covered, n2, 1.0)), 0.0)
 
     sim = num / (jnp.maximum(nrm, eps) * jnp.maximum(gt_n_pix, eps))
+    if reduce == "sum":
+        return jnp.sum(sim)
     return 1.0 - jnp.sum(sim) / hw
 
 

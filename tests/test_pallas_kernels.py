@@ -228,6 +228,107 @@ class TestFastPathEndToEnd:
         reassembled = rt.tiles_to_image(tiles.feature_map, gx, gy, h, w)
         np.testing.assert_allclose(reassembled, fast.feature_map, atol=1e-6)
 
+    def test_fused_query_matches_unfused(self):
+        """The kernel-fused Gram query (rasterize_quick_query) must match
+        the XLA query computed from the unfused fast16 weight-map tiles:
+        raw[l,q,p] = sum_k wm[l,k] phi[l,k,p], nrm2[l,q] = wm Gram wm."""
+        from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
+        n, h, w = 800, 80, 112
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=2)
+        rng = np.random.default_rng(3)
+        L, K, TOPK, PQ = 3, 64, 4, 5
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        cb = rng.normal(size=(L, K, 64)).astype(np.float32)
+        phrases = rng.normal(size=(PQ, 64)).astype(np.float32)
+        phi = jnp.einsum("lkd,pd->lkp", jnp.asarray(cb), jnp.asarray(phrases))
+        gram = jnp.einsum("lkd,lmd->lkm", jnp.asarray(cb), jnp.asarray(cb))
+        bg = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+        sp = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="pallas", binning="sort",
+            precision="bf16", assemble=False)
+        unfused = rasterize(
+            sp, jnp.asarray(means), ops, view, pm, jnp.zeros(3, jnp.float32),
+            bg, scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        wm = np.asarray(unfused.feature_map).reshape(-1, L, K)  # [Q, L, K]
+        raw_ref = np.einsum("qlk,lkp->qlp", wm, np.asarray(phi))
+        wg = np.einsum("qlk,lkm->qlm", wm, np.asarray(gram))
+        nrm2_ref = np.einsum("qlk,qlk->ql", wg, wm)
+
+        rgb, raw_t, nrm2_t, final_t, radii, total, live = \
+            rasterize_quick_query(
+                sp, jnp.asarray(means), ops, view, pm,
+                jnp.zeros(3, jnp.float32), bg,
+                scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                colors_precomp=cols, quick_weights=jnp.asarray(qw),
+                quick_indices=jnp.asarray(qi), phi=phi, gram=gram,
+                quick_channels=L * K)
+        assert raw_t.shape == (sp.grid_x * sp.grid_y, 256, L * PQ)
+        assert nrm2_t.shape == (sp.grid_x * sp.grid_y, 256, L)
+        raw = np.asarray(raw_t).reshape(-1, L, PQ)
+        nrm2 = np.asarray(nrm2_t).reshape(-1, L)
+        scale_r = np.abs(raw_ref).max() + 1e-6
+        scale_n = np.abs(nrm2_ref).max() + 1e-6
+        # In-kernel matmuls use the same bf16-pass fidelity as the XLA
+        # einsum query; only FMA ordering differs.
+        np.testing.assert_allclose(raw / scale_r, raw_ref / scale_r,
+                                   atol=5e-3)
+        np.testing.assert_allclose(nrm2 / scale_n, nrm2_ref / scale_n,
+                                   atol=5e-3)
+        np.testing.assert_allclose(rgb, unfused.rgb, atol=1e-5)
+        assert int(live) == int(np.asarray(live))
+
+    def test_live_entries_prefix_is_output_preserving(self):
+        """Sizing the gather/blend to the post-cull live total (dead
+        entries sort to the end) must not change any output pixel."""
+        n, h, w = 800, 80, 112
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=4)
+        rng = np.random.default_rng(4)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        sp = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="pallas", binning="sort")
+        full = rasterize(sp, jnp.asarray(means), ops, view, pm,
+                         jnp.zeros(3, jnp.float32), bg, **common)
+        n_live = int(full.live_total)
+        assert 0 < n_live < 2 ** 13  # the cull must actually kill entries
+        live_budget = -(-n_live // 128) * 128
+        tight = rasterize(sp._replace(live_entries=live_budget),
+                          jnp.asarray(means), ops, view, pm,
+                          jnp.zeros(3, jnp.float32), bg, **common)
+        np.testing.assert_allclose(tight.rgb, full.rgb, atol=1e-6)
+        np.testing.assert_allclose(tight.feature_map, full.feature_map,
+                                   atol=1e-6)
+        assert int(tight.live_total) == n_live
+
+        # An under-sized live budget must clamp loudly, not corrupt: the
+        # reported live_total still exceeds the budget.
+        clamped = rasterize(sp._replace(live_entries=128),
+                            jnp.asarray(means), ops, view, pm,
+                            jnp.zeros(3, jnp.float32), bg, **common)
+        assert int(clamped.live_total) == n_live > 128
+
 
 class TestDenseCustomVJP:
     def test_feature_grads_match_xla_autodiff(self):

@@ -117,7 +117,8 @@ class TestShardedTraining:
         B = mesh.shape["data"]
         opt = types.SimpleNamespace(language_feature_lr=0.01)
         optimizer = make_feature_optimizer(opt)
-        step = make_sharded_feature_train_step(mesh, settings, optimizer, topk=4)
+        step = make_sharded_feature_train_step(mesh, settings, optimizer,
+                                               topk=4, loss_space="pixel")
 
         # Recover loss + grads from the sharded step by probing its internals
         # through one update with a zero-LR optimizer clone: instead, call the
@@ -146,6 +147,65 @@ class TestShardedTraining:
             np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
                                        err_msg=k)
 
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_sharded_gram_loss_and_grads_match_unsharded(self, rng,
+                                                         mesh_shape):
+        """The gram-space sharded step (the production fast path: compact
+        [S,512]+seg GT, K-dim tile-shard math, psum of partial sim sums)
+        must reproduce the single-chip gram loss and gradients."""
+        from langsplatv2_tpu.models.renderer import render as facade_render
+        from langsplatv2_tpu.parallel import sharding as sh
+        from langsplatv2_tpu.train.trainer import gram_cos_loss
+
+        g, cam, model, _, _ = self._setup(rng)
+        settings = settings_for(cam)
+        S = 7
+        table = rng.normal(size=(S, 512)).astype(np.float32)
+        table /= np.linalg.norm(table, axis=1, keepdims=True)
+        seg = rng.integers(-1, S, (H, W)).astype(np.int32)
+        table_d, seg_d = jnp.asarray(table), jnp.asarray(seg)
+
+        def unsharded_loss(params):
+            m = model.replace(**params)
+            out = facade_render(settings, m, cam["viewmatrix"],
+                                cam["projmatrix"], cam["campos"],
+                                jnp.zeros(3), include_feature=True, topk=4)
+            return gram_cos_loss(m.codebooks,
+                                 out.language_feature_weight_map,
+                                 table_d, seg_d, 0)
+
+        params = feature_params(model)
+        loss_ref, grads_ref = jax.value_and_grad(unsharded_loss)(params)
+
+        mesh = make_device_mesh(*mesh_shape)
+        B = mesh.shape["data"]
+        views = jnp.tile(cam["viewmatrix"][None], (B, 1, 1))
+        projs = jnp.tile(cam["projmatrix"][None], (B, 1, 1))
+        camposs = jnp.tile(cam["campos"][None], (B, 1))
+        tables = jnp.tile(table_d[None], (B, 1, 1))
+        segs = jnp.tile(seg_d[None], (B, 1, 1))
+
+        sharded_loss = sh.make_sharded_gram_loss(mesh, settings, topk=4)
+        loss_sh, grads_sh = jax.value_and_grad(sharded_loss)(
+            params, model, views, projs, camposs, jnp.zeros(3), tables, segs)
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                                   rtol=1e-5)
+        for k in grads_ref:
+            a, b = np.asarray(grads_sh[k]), np.asarray(grads_ref[k])
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                       err_msg=k)
+
+        # And the step must train with the compact GT.
+        opt = types.SimpleNamespace(language_feature_lr=0.05)
+        optimizer = make_feature_optimizer(opt)
+        step = make_sharded_feature_train_step(mesh, settings, optimizer,
+                                               topk=4)
+        m2, _, met = step(model, optimizer.init(params), views, projs,
+                          camposs, jnp.zeros(3), tables, segs)
+        np.testing.assert_allclose(float(met["loss"]), float(loss_ref),
+                                   rtol=1e-5)
+
     def test_sharded_training_reduces_loss(self, rng):
         g, cam, model, gt_feat, gt_mask = self._setup(rng)
         settings = settings_for(cam)
@@ -153,7 +213,8 @@ class TestShardedTraining:
         optimizer = make_feature_optimizer(opt)
         opt_state = optimizer.init(feature_params(model))
         mesh = make_device_mesh(2, 4)
-        step = make_sharded_feature_train_step(mesh, settings, optimizer, topk=4)
+        step = make_sharded_feature_train_step(mesh, settings, optimizer,
+                                               topk=4, loss_space="pixel")
         B = 2
         views = jnp.tile(cam["viewmatrix"][None], (B, 1, 1))
         projs = jnp.tile(cam["projmatrix"][None], (B, 1, 1))
