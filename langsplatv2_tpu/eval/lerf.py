@@ -99,6 +99,81 @@ def render_language_feature_map_quick(model: GaussianModel, settings, view,
     return feats.reshape(L, D, H, W)
 
 
+def render_language_feature_map_full(models: list[GaussianModel], cam, bg
+                                     ) -> jnp.ndarray:
+    """Non-quick formulation (reference `evaluate`, eval_lerf.py:223-291):
+    each independently trained per-level model renders ITS OWN dense
+    weight map, decoded to CLIP space and L2-normalized. Returns
+    [levels, 512, H, W] — the cross-check that validates quick-mode
+    merging (merge_level_models + one 192-channel pass) on real
+    checkpoints."""
+    from ..models.renderer import render
+
+    view = jnp.asarray(cam.world_view_transform)
+    proj = jnp.asarray(cam.full_proj_transform)
+    campos = jnp.asarray(cam.camera_center)
+    feats = []
+    for m in models:
+        settings = make_settings(cam, m.active_sh_degree)
+        out = render(settings, m, view, proj, campos, bg,
+                     include_feature=True, topk=4)
+        wmap = out.language_feature_weight_map        # [L*K, H, W]
+        feat = m.compute_layer_feature_map(wmap, m.codebooks.shape[0] - 1)
+        feat = feat / (jnp.linalg.norm(feat, axis=0, keepdims=True) + 1e-10)
+        feats.append(feat)
+    return jnp.stack(feats, axis=0)
+
+
+def evaluate(
+    models: list[GaussianModel],
+    cameras: list,
+    gt_ann: dict,
+    image_shape: tuple[int, int],
+    clip_model: OpenCLIPNetwork | None = None,
+    mask_thresh: float = 0.4,
+    logger=None,
+):
+    """Non-quick benchmark (reference `evaluate`, eval_lerf.py:223-291):
+    the three separate level models are evaluated with the full per-level
+    decode instead of the merged single-pass quick render. Same metrics as
+    evaluate_quick; agreement between the two validates the merge."""
+    clip_model = clip_model or OpenCLIPNetwork()
+    chosen_iou_all, chosen_lvl_list = [], []
+    acc_num = 0
+    total_prompts = 0
+    bg = jnp.zeros(3, jnp.float32)
+
+    for j_str, img_ann in gt_ann.items():
+        cam = cameras[int(j_str)]
+        prompts = list(img_ann.keys())
+        clip_model.set_positives(prompts)
+        feats = render_language_feature_map_full(models, cam, bg)
+        sem_map = jnp.transpose(feats, (0, 2, 3, 1))   # [L, H, W, 512]
+        valid_map = clip_model.get_max_across_quick(sem_map)
+
+        masks = {p: img_ann[p]["mask"] for p in prompts}
+        bboxes = {p: img_ann[p]["bboxes"] for p in prompts}
+        c_iou, c_lvl, _ = processing.segmentation_process(
+            valid_map, mask_thresh, masks, prompts)
+        acc = processing.localization_process(
+            np.asarray(valid_map), bboxes, prompts)
+        chosen_iou_all.extend(c_iou)
+        chosen_lvl_list.extend(c_lvl)
+        acc_num += acc
+        total_prompts += len(prompts)
+        if logger:
+            logger.info(
+                f"frame {j_str}: iou {c_iou} lvl {c_lvl} acc {acc}/{len(prompts)}")
+
+    mean_iou = float(np.mean(chosen_iou_all)) if chosen_iou_all else 0.0
+    return {
+        "mean_iou": mean_iou,
+        "localization_accuracy": acc_num / max(total_prompts, 1),
+        "chosen_levels": chosen_lvl_list,
+        "num_prompts": total_prompts,
+    }
+
+
 def evaluate_quick(
     merged_model: GaussianModel,
     cameras: list,

@@ -47,6 +47,50 @@ def segmentation_process_mask_score(valid_map, thresh, gt_masks, prompts):
     return chosen_iou_list, chosen_lvl_list
 
 
+def evaluate(models, cameras, gt_ann, image_shape,
+             clip_model: OpenCLIPNetwork | None = None,
+             mask_thresh: float = 0.4, logger=None):
+    """Non-quick Mip-NeRF360 evaluation: separate per-level models, full
+    per-level decode (the reference `evaluate` formulation) — the quick
+    merge cross-check."""
+    from .lerf import render_language_feature_map_full
+
+    clip_model = clip_model or OpenCLIPNetwork()
+    gt_h, gt_w = image_shape
+    bg = jnp.zeros(3, jnp.float32)
+    chosen_iou_all = []
+    acc_num = 0
+    total = 0
+
+    for j_str, img_ann in gt_ann.items():
+        cam = cameras[int(j_str)]
+        feats = render_language_feature_map_full(models, cam, bg)
+        if feats.shape[-2:] != (gt_h, gt_w):
+            feats = resize_feature_map(feats, gt_h, gt_w)
+        sem_map = jnp.transpose(feats, (0, 2, 3, 1))
+        prompts = list(img_ann.keys())
+        clip_model.set_positives(prompts)
+        valid_map = clip_model.get_max_across_quick(sem_map)
+
+        masks = {p: img_ann[p]["mask"] for p in prompts}
+        bboxes = {p: img_ann[p]["bboxes"] for p in prompts}
+        c_iou, c_lvl = segmentation_process_mask_score(
+            valid_map, mask_thresh, masks, prompts)
+        acc = processing.localization_process(np.asarray(valid_map), bboxes,
+                                              prompts)
+        chosen_iou_all.extend(c_iou)
+        acc_num += acc
+        total += len(prompts)
+        if logger:
+            logger.info(f"frame {j_str}: iou {c_iou} lvl {c_lvl}")
+
+    return {
+        "mean_iou": float(np.mean(chosen_iou_all)) if chosen_iou_all else 0.0,
+        "localization_accuracy": acc_num / max(total, 1),
+        "num_prompts": total,
+    }
+
+
 def evaluate_quick(merged_model, cameras, gt_ann, image_shape,
                    clip_model: OpenCLIPNetwork | None = None,
                    mask_thresh: float = 0.4, logger=None):

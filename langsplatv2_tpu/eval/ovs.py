@@ -79,6 +79,44 @@ def segmentation_process_room(valid_map, thresh, gt_masks, prompts):
     return chosen_iou_list, chosen_lvl_list
 
 
+def evaluate(models, cameras_by_frame: dict, gt_ann: dict,
+             clip_model: OpenCLIPNetwork | None = None,
+             mask_thresh: float = 0.25, scene_name: str = "",
+             logger=None):
+    """Non-quick 3D-OVS evaluation (reference `evaluate`,
+    eval_3d_ovs.py:289-341): separate per-level models, full per-level
+    decode (lerf.render_language_feature_map_full). Same metrics as
+    evaluate_quick — the merge cross-check."""
+    from .lerf import render_language_feature_map_full
+
+    clip_model = clip_model or OpenCLIPNetwork()
+    bg = jnp.zeros(3, jnp.float32)
+    chosen_iou_all = []
+
+    for frame_id, img_ann in gt_ann.items():
+        cam = cameras_by_frame[frame_id]
+        prompts = list(img_ann.keys())
+        clip_model.set_positives(prompts)
+        feats = render_language_feature_map_full(models, cam, bg)
+        sem_map = jnp.transpose(feats, (0, 2, 3, 1))
+        valid_map = clip_model.get_max_across_quick(sem_map)
+        masks = {p: img_ann[p]["mask"] for p in prompts}
+        if scene_name == "room":
+            c_iou, c_lvl = segmentation_process_room(
+                np.asarray(valid_map), mask_thresh, masks, prompts)
+        else:
+            c_iou, c_lvl, _ = processing.segmentation_process(
+                valid_map, mask_thresh, masks, prompts)
+        chosen_iou_all.extend(c_iou)
+        if logger:
+            logger.info(f"frame {frame_id}: iou {c_iou} lvl {c_lvl}")
+
+    return {
+        "mean_iou": float(np.mean(chosen_iou_all)) if chosen_iou_all else 0.0,
+        "num_prompts": len(chosen_iou_all),
+    }
+
+
 def evaluate_quick(merged_model, cameras_by_frame: dict, gt_ann: dict,
                    clip_model: OpenCLIPNetwork | None = None,
                    mask_thresh: float = 0.25, scene_name: str = "",

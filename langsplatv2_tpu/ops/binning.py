@@ -55,9 +55,9 @@ def bin_gaussians(
         num_tiles = grid_x * grid_y
         tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
             proj, grid_x, grid_y, max_entries)
-        hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
         g_sorted, t_start, t_count, tile_sorted = (
-            pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+            pallas_binning.sorted_binning_from_keys(keys, num_tiles))
         return BinnedTiles(
             gauss_id=g_sorted,
             entry_valid=tile_sorted < num_tiles,

@@ -211,12 +211,8 @@ def expand_entries_pallas(
     """
     n = proj.tiles_touched.shape[0]
     assert n <= GAUSS_MASK + 1, "gauss id must fit in 20 bits"
-    # The packed sort key gives the tile id 13 bits, and one extra value is
-    # the dead-entry sentinel; silently overflowing here would corrupt the
-    # sort order (wrong images, no error) at >1080p render targets.
-    assert grid_x * grid_y < (1 << 13) - 1, (
-        f"tile grid {grid_x}x{grid_y} overflows the 13-bit sort key; "
-        "render in crops or widen the key packing")
+    # (Tile-grid size is unbounded here: pack_sort_keys switches to a
+    # 3-word key above 8190 tiles, so >1080p grids sort correctly.)
     tiles = proj.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles
     total = jnp.minimum(jnp.sum(tiles), max_entries)
@@ -303,26 +299,38 @@ def expand_entries_pallas(
 
 
 def pack_sort_keys(tile, depth, gauss, num_tiles: int):
-    """Pack (tile, depth, gauss) into a sortable (hi, lo) u32 key pair.
+    """Pack (tile, depth, gauss) into a tuple of sortable u32 key words.
 
+    Grids up to 8190 tiles (1080p = 8160) pack into TWO words:
     hi = tile(13) | depth-bits[30:12](19);  lo = depth-bits[11:0](12) << 20
-    | gauss(20). Sorting (hi, lo) as a stable two-key sort gives the exact
+    | gauss(20). Sorting them as a stable two-key sort gives the exact
     (tile, full-precision depth, submission order) order of the reference's
     radix sort with only two u32 operands (u64 would silently truncate
-    without the global x64 flag)."""
-    assert num_tiles < (1 << 13) - 1, "tile id must fit in 13 bits + sentinel"
+    without the global x64 flag).
+
+    Larger grids (1440p = 14,400 tiles, 4K = 32,400 — the reference's CUDA
+    radix sort has no resolution ceiling, backend_renderer.py:161-246)
+    return THREE words (tile, depth-bits, gauss): ~30% more sort traffic,
+    paid only above 1080p. Consumers must treat the return value as an
+    opaque tuple for sorted_binning_from_keys."""
     # Drop the always-zero sign bit (depth > 0 in view space): the kept 31
     # bits reproduce positive-depth f32 ordering exactly, including the LSB.
     depth_bits = lax.bitcast_convert_type(depth, jnp.uint32) & jnp.uint32(0x7FFFFFFF)
     tile_u = tile.astype(jnp.uint32)
     gauss_u = gauss.astype(jnp.uint32)
-    hi = (tile_u << 19) | (depth_bits >> 12)
-    lo = ((depth_bits & jnp.uint32(0xFFF)) << 20) | gauss_u
-    # Dead entries (sentinel tile) sort to the end regardless of payload.
     dead = tile >= num_tiles
-    hi = jnp.where(dead, jnp.uint32(num_tiles) << 19, hi)
-    lo = jnp.where(dead, jnp.uint32(0), lo)
-    return hi, lo
+    if num_tiles < (1 << 13) - 1:
+        hi = (tile_u << 19) | (depth_bits >> 12)
+        lo = ((depth_bits & jnp.uint32(0xFFF)) << 20) | gauss_u
+        # Dead entries (sentinel tile) sort to the end regardless of payload.
+        hi = jnp.where(dead, jnp.uint32(num_tiles) << 19, hi)
+        lo = jnp.where(dead, jnp.uint32(0), lo)
+        return hi, lo
+    assert num_tiles < (1 << 31), "tile id must fit an i32 sentinel"
+    k0 = jnp.where(dead, jnp.uint32(num_tiles), tile_u)
+    k1 = jnp.where(dead, jnp.uint32(0), depth_bits)
+    k2 = jnp.where(dead, jnp.uint32(0), gauss_u)
+    return k0, k1, k2
 
 
 def _vectorized_searchsorted_left(sorted_vals: jnp.ndarray, queries: jnp.ndarray,
@@ -347,11 +355,19 @@ def _vectorized_searchsorted_left(sorted_vals: jnp.ndarray, queries: jnp.ndarray
     return lo
 
 
-def sorted_binning_from_keys(hi: jnp.ndarray, lo: jnp.ndarray, num_tiles: int):
-    """Sort packed keys; derive (gauss_sorted, tile_start, tile_count)."""
-    hi_sorted, lo_sorted = lax.sort((hi, lo), num_keys=2, is_stable=False)
-    gauss_sorted = (lo_sorted & jnp.uint32(GAUSS_MASK)).astype(jnp.int32)
-    tile_sorted = (hi_sorted >> 19).astype(jnp.int32)
+def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None):
+    """Sort packed keys (the pack_sort_keys tuple); derive
+    (gauss_sorted, tile_start, tile_count, tile_sorted)."""
+    if _legacy_num_tiles is not None:        # (hi, lo, num_tiles) call form
+        keys, num_tiles = (keys, num_tiles), _legacy_num_tiles
+    if len(keys) == 2:
+        hi_sorted, lo_sorted = lax.sort(keys, num_keys=2, is_stable=False)
+        gauss_sorted = (lo_sorted & jnp.uint32(GAUSS_MASK)).astype(jnp.int32)
+        tile_sorted = (hi_sorted >> 19).astype(jnp.int32)
+    else:
+        k0, _k1, k2 = lax.sort(keys, num_keys=3, is_stable=False)
+        gauss_sorted = k2.astype(jnp.int32)
+        tile_sorted = k0.astype(jnp.int32)
     n_bits = max(1, int(np.ceil(np.log2(tile_sorted.shape[0] + 1))) + 1)
     bounds = _vectorized_searchsorted_left(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), n_bits)

@@ -436,9 +436,9 @@ def rasterize_rgb_vjp(settings, means3d, opacities, viewmatrix, projmatrix,
         jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
         settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
         exact_cull=True, interpret=interp)
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, tile_sorted = (
-        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles))
     valid = (tile_sorted < num_tiles).astype(jnp.int32)
 
     bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)

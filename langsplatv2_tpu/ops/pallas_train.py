@@ -96,6 +96,12 @@ def _feature_bwd_kernel(
         py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
         g_tile = g_tiles[k]                          # [P, K]
 
+        def write_dma(c):
+            return pltpu.make_async_copy(
+                dbuf.at[c % 2, pl.ds(0, chunk)],
+                dfeat_hbm.at[pl.ds(start + c * chunk, chunk), :],
+                wsem.at[c % 2])
+
         def body(c, t_test):
             slot = base + c % 2
 
@@ -140,25 +146,37 @@ def _feature_bwd_kernel(
             dW = jnp.where(keep, dW, 0.0)
             dW = pltpu.roll(dW, shift=cw - d, axis=0)      # entry r at row r
             kpad = jnp.zeros((cw, GRAD_W - feat_k), jnp.float32)
-            dbuf[...] = jnp.concatenate([dW[:, :feat_k], kpad], axis=1)
-            # Write this chunk's rows. Full-chunk writes can overhang into
-            # the next tile's rows with zeros, but tiles are processed in
-            # increasing entry order and every DMA is waited before the
-            # next, so later (correct) writes land last. Dead sentinel
-            # entries at the array tail are never written; the XLA wrapper
-            # masks them before the per-gaussian reduction.
-            cp = pltpu.make_async_copy(
-                dbuf.at[pl.ds(0, chunk)],
-                dfeat_hbm.at[pl.ds(start + c * chunk, chunk), :],
-                wsem)
-            cp.start()
-            cp.wait()
+            # Write this chunk's rows, double-buffered: the DMA issued two
+            # chunks ago (same slot) is waited just before its buffer is
+            # reused, so gradient writes overlap the next chunk's compute
+            # instead of serializing it. Full-chunk writes can overhang
+            # into the next tile's rows with zeros, but tiles are processed
+            # in increasing entry order and slot writes are drained before
+            # the next tile starts, so later (correct) writes land last.
+            # Dead sentinel entries at the array tail are never written;
+            # the XLA wrapper masks them before the per-gaussian reduction.
+            @pl.when(c >= 2)
+            def _():
+                write_dma(c - 2).wait()
+
+            dbuf[c % 2] = jnp.concatenate([dW[:, :feat_k], kpad], axis=1)
+            write_dma(c).start()
 
             log_v = jnp.log1p(-alpha)
             return t_test * jnp.exp(jnp.sum(log_v, axis=1, keepdims=True))
 
         t0 = jnp.ones((P, 1), jnp.float32)
         lax.fori_loop(0, n_chunks, body, t0)
+        # Drain this tile's outstanding writes before the next tile reuses
+        # the slots (and before the kernel exits).
+        @pl.when(n_chunks >= 2)
+        def _():
+            write_dma(n_chunks - 2).wait()
+
+        @pl.when(n_chunks >= 1)
+        def _():
+            write_dma(n_chunks - 1).wait()
+
         return carry
 
     lax.fori_loop(0, tile_batch, process_tile, 0)
@@ -213,9 +231,9 @@ def feature_grads_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((4, GEOM_W, chunk + LANE), jnp.float32),
-            pltpu.VMEM((chunk + LANE, GRAD_W), jnp.float32),
+            pltpu.VMEM((2, chunk + LANE, GRAD_W), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -256,9 +274,9 @@ def _dense_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
         settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
         exact_cull=True, interpret=interp)
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, tile_sorted = (
-        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles))
 
     rows = pallas_blend.pack_gaussian_rows(
         proj.xy, proj.conic, opacities[:, 0], proj.rgb)
@@ -381,9 +399,9 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
         settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
         exact_cull=True, interpret=interp)
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, tile_sorted = (
-        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles))
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles))
 
     topk = quick_weights.shape[1]
     packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4

@@ -386,9 +386,9 @@ def _sorted_quick_binning(settings, proj, opacities, interp):
     tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,
         opacities=opacities[:, 0], exact_cull=True, interpret=interp)
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, _ = \
-        pallas_binning.sorted_binning_from_keys(hi, lo, num_tiles)
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles)
     live_total = jnp.sum(tile_count)
     live = settings.live_entries
     if 0 < live < settings.max_entries:

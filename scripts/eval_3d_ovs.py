@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--topk", type=int, default=4)
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--resolution", type=int, default=-1)
+    parser.add_argument("--no-quick", dest="quick", action="store_false",
+                        default=True)
     args = parser.parse_args()
 
     from langsplatv2_tpu.eval import lerf, ovs
@@ -47,10 +49,15 @@ def main():
     cameras = {c.image_name: c for c in scene.get_train_cameras()}
     cams_by_frame = {fid: cameras[fid] for fid in frame_ids if fid in cameras}
 
-    results = ovs.evaluate_quick(
-        merged, cams_by_frame, gt_ann,
-        OpenCLIPNetwork(backend=args.clip_backend),
-        mask_thresh=args.mask_thresh, scene_name=args.dataset_name)
+    clip_model = OpenCLIPNetwork(backend=args.clip_backend)
+    if args.quick:
+        results = ovs.evaluate_quick(
+            merged, cams_by_frame, gt_ann, clip_model,
+            mask_thresh=args.mask_thresh, scene_name=args.dataset_name)
+    else:
+        results = ovs.evaluate(
+            models, cams_by_frame, gt_ann, clip_model,
+            mask_thresh=args.mask_thresh, scene_name=args.dataset_name)
     print(json.dumps(results))
 
 

@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--topk", type=int, default=4)
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--resolution", type=int, default=-1)
+    # Reference `evaluate` (eval_lerf.py:223-291): the three level models
+    # evaluated separately with the full per-level decode instead of the
+    # merged quick render — the merge cross-check.
+    parser.add_argument("--no-quick", dest="quick", action="store_false",
+                        default=True)
     args = parser.parse_args()
 
     from langsplatv2_tpu.eval import lerf
@@ -75,9 +80,14 @@ def main():
     cameras = scene.get_train_cameras()
 
     clip_model = OpenCLIPNetwork(backend=args.clip_backend)
-    results = lerf.evaluate_quick(
-        merged, cameras, gt_ann, (gt_h, gt_w), clip_model,
-        mask_thresh=args.mask_thresh, logger=logger)
+    if args.quick:
+        results = lerf.evaluate_quick(
+            merged, cameras, gt_ann, (gt_h, gt_w), clip_model,
+            mask_thresh=args.mask_thresh, logger=logger)
+    else:
+        results = lerf.evaluate(
+            models, cameras, gt_ann, (gt_h, gt_w), clip_model,
+            mask_thresh=args.mask_thresh, logger=logger)
     logger.info(json.dumps(results))
     print(json.dumps({"mean_iou": results["mean_iou"],
                       "localization_accuracy": results["localization_accuracy"]}))

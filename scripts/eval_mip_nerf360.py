@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--topk", type=int, default=4)
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--resolution", type=int, default=-1)
+    parser.add_argument("--no-quick", dest="quick", action="store_false",
+                        default=True)
     args = parser.parse_args()
 
     from langsplatv2_tpu.eval import lerf, mip360
@@ -46,10 +48,15 @@ def main():
                   eval_split=False, shuffle=False)
     cameras = scene.get_train_cameras()
 
-    results = mip360.evaluate_quick(
-        merged, cameras, gt_ann, (h, w),
-        OpenCLIPNetwork(backend=args.clip_backend),
-        mask_thresh=args.mask_thresh)
+    clip_model = OpenCLIPNetwork(backend=args.clip_backend)
+    if args.quick:
+        results = mip360.evaluate_quick(
+            merged, cameras, gt_ann, (h, w), clip_model,
+            mask_thresh=args.mask_thresh)
+    else:
+        results = mip360.evaluate(
+            models, cameras, gt_ann, (h, w), clip_model,
+            mask_thresh=args.mask_thresh)
     print(json.dumps(results))
 
 

@@ -97,6 +97,33 @@ def test_run_all_levels_pipeline(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_eval_psnr_cli(tmp_path, rng):
+    """scripts/eval_psnr.py must load the latest checkpoint, render the
+    cameras, and report a finite mean PSNR (reference eval_araba.py:13-51
+    incl. the no-test-split -> first-10-train-cameras fallback)."""
+    _build_scene(tmp_path / "scene", rng)
+    out = tmp_path / "out" / "m"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=1").strip())
+    p1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "-s", str(tmp_path / "scene"), "-m", str(out),
+         "--iterations", "5", "--checkpoint_iterations", "5"],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert p1.returncode == 0, p1.stdout[-2000:] + p1.stderr[-2000:]
+    p2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "eval_psnr.py"),
+         "-s", str(tmp_path / "scene"), "-m", f"{out}_-1", "--quiet"],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert p2.returncode == 0, p2.stdout[-2000:] + p2.stderr[-2000:]
+    line = [l for l in p2.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["num_images"] > 0
+    assert np.isfinite(res["mean_psnr"]) and res["mean_psnr"] > 0
+
+
+@pytest.mark.slow
 def test_train_cli_resume_restores_opt_state(tmp_path, rng):
     """Same-phase resume must restore Adam moments from the checkpoint."""
     _build_scene(tmp_path / "scene", rng)

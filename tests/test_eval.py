@@ -143,6 +143,49 @@ class TestLerfQuickPath:
         # Where anything rendered, decoded features are unit-norm.
         assert norms.max() == pytest.approx(1.0, abs=1e-4)
 
+    def test_nonquick_evaluate_agrees_with_quick(self, rng):
+        """The non-quick `evaluate` (3 separate models, full per-level
+        decode — reference eval_lerf.py:223-291) must agree with the
+        merged quick path on the same scene: the quick representation is
+        an exact repackaging of each model's top-k weights."""
+        n = 40
+        H, W = 48, 64
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+
+        class FakeCam:
+            world_view_transform = np.asarray(cam["viewmatrix"])
+            full_proj_transform = np.asarray(cam["projmatrix"])
+            camera_center = np.asarray(cam["campos"])
+            tanfovx = cam["tanfovx"]
+            tanfovy = cam["tanfovy"]
+            image_height, image_width = H, W
+
+        models = []
+        for lvl in range(3):
+            m = gm.create_from_pcd(
+                np.asarray(g["means3d"]), np.full((n, 3), 0.5, np.float32),
+                1.0)
+            m = m.replace(opacity=jnp.full((n, 1), 1.5))
+            m = gm.init_language_features(m, jax.random.PRNGKey(lvl), 1, 64)
+            models.append(m)
+        merged = lerf.merge_level_models(models)
+
+        mask = np.zeros((H, W), bool)
+        mask[10:30, 20:44] = True
+        gt_ann = {"0": {"cup": {"mask": mask,
+                                "bboxes": np.array([20, 10, 44, 30])}}}
+        net = OpenCLIPNetwork(backend="hash")
+        cams = [FakeCam()]
+        r_quick = lerf.evaluate_quick(merged, cams, gt_ann, (H, W), net,
+                                      gram_relevancy=False)
+        r_full = lerf.evaluate(models, cams, gt_ann, (H, W), net)
+        assert r_full["num_prompts"] == r_quick["num_prompts"] == 1
+        np.testing.assert_allclose(r_full["mean_iou"], r_quick["mean_iou"],
+                                   atol=1e-5)
+        assert (r_full["localization_accuracy"]
+                == r_quick["localization_accuracy"])
+
     def test_gt_parsing(self, tmp_path):
         ann = {
             "info": {"name": "frame_00001.jpg", "height": 32, "width": 40},

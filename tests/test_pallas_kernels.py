@@ -68,6 +68,68 @@ class TestPallasExpansion:
         np.testing.assert_array_equal(np.asarray(g_sorted[:tot]),
                                       np.asarray(binned.gauss_id[:tot]))
 
+    def test_wide_grid_key_sort_matches_lexsort(self):
+        """Above 8190 tiles pack_sort_keys switches to a 3-word key; the
+        derived (tile, depth, gauss) order must equal a host lexsort at a
+        4K-scale grid (240x135 = 32,400 tiles)."""
+        rng = np.random.default_rng(11)
+        e = 20_000
+        num_tiles = 240 * 135
+        tile = rng.integers(0, num_tiles, e).astype(np.int32)
+        tile[rng.uniform(size=e) < 0.05] = num_tiles       # dead sentinels
+        depth = rng.uniform(0.2, 50.0, e).astype(np.float32)
+        gauss = rng.permutation(e).astype(np.int32)
+
+        keys = pallas_binning.pack_sort_keys(
+            jnp.asarray(tile), jnp.asarray(depth), jnp.asarray(gauss),
+            num_tiles)
+        assert len(keys) == 3
+        g_sorted, t_start, t_count, tile_sorted = \
+            pallas_binning.sorted_binning_from_keys(keys, num_tiles)
+
+        order = np.lexsort((gauss, depth.view(np.uint32), tile))
+        live = tile[order] < num_tiles
+        np.testing.assert_array_equal(
+            np.asarray(g_sorted)[:live.sum()], gauss[order][live])
+        np.testing.assert_array_equal(
+            np.asarray(tile_sorted)[:live.sum()], tile[order][live])
+        counts = np.bincount(tile[tile < num_tiles], minlength=num_tiles)
+        np.testing.assert_array_equal(np.asarray(t_count), counts)
+
+    @pytest.mark.slow
+    def test_1440p_quick_render_matches_xla(self):
+        """The 1440p grid (160x90 = 14,400 tiles) exceeds the 2-word key's
+        13-bit tile field; the 3-word path must reproduce the XLA
+        reference blend pixel-for-pixel (reference CUDA sort has no
+        resolution ceiling, backend_renderer.py:161-246)."""
+        n, h, w = 300, 1440, 2560
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=7)
+        rng = np.random.default_rng(7)
+        # Small splats keep every tile under tile_cap (the XLA blend caps
+        # per-tile depth, the Pallas blend streams all entries — parity
+        # needs the cap to never bind).
+        scales = rng.uniform(0.005, 0.05, (n, 3)).astype(np.float32)
+        L, K, TOPK = 1, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qi = rng.integers(0, K, (n, L * TOPK)).astype(np.float32)
+        bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        s = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 14,
+            tile_cap=512, tile_batch=64, impl="xla")
+        ox = rasterize(s, jnp.asarray(means), ops, view, pm,
+                       jnp.zeros(3, jnp.float32), bg, **common)
+        op_ = rasterize(s._replace(impl="pallas"), jnp.asarray(means), ops,
+                        view, pm, jnp.zeros(3, jnp.float32), bg, **common)
+        np.testing.assert_allclose(op_.rgb, ox.rgb, atol=3e-5)
+        np.testing.assert_allclose(op_.feature_map, ox.feature_map,
+                                   atol=3e-5)
+
     def test_overflow_clamps_to_budget(self):
         h, w = 64, 64
         *_, proj, fovx, fovy = _scene(2000, h, w, seed=2)
