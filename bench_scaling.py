@@ -134,7 +134,7 @@ def main():
 
         @jax.jit
         def gframe(means, op, sc, rot, col):
-            rgb, fmap, final_t, total, dropped = rasterize_gauss_sharded(
+            rgb, fmap, final_t, total, dropped, _radii = rasterize_gauss_sharded(
                 mesh, settings, means, op, view, proj, campos, bg,
                 scales=sc, rotations=rot, colors_precomp=col,
                 pair_capacity=-(-ME // (c * max(c // 2, 1)) // 128) * 128)

@@ -87,6 +87,9 @@ class RasterizeSettings(NamedTuple):
     # Segments past the budget are clamped (overflow shows as
     # live_total > live_entries).
     live_entries: int = 0
+    # binning="gauss": per-(src,dst) exchange capacity (0 = auto from
+    # max_entries); overflow reported as dropped_entries.
+    pair_capacity: int = 0
 
     @property
     def grid_x(self) -> int:
@@ -109,6 +112,9 @@ class RasterizeOutput(NamedTuple):
     # settings.live_entries, and its overflow check. None on paths that
     # don't bin via the sorted-prefix pipeline.
     live_total: jnp.ndarray | None = None
+    # [] int32: gauss-sharded path only — entries dropped because a
+    # (src chip, dst chip) exchange pair overflowed pair_capacity.
+    dropped_entries: jnp.ndarray | None = None
 
 
 def rasterize(
@@ -131,8 +137,30 @@ def rasterize(
     means2d_dummy: jnp.ndarray | None = None,     # [N, 2] NDC-grad carrier
     quick_train: bool = False,  # quick args are a TRAINING representation:
                                 # d(quick_weights) must flow (feature phase)
+    mesh=None,                  # jax Mesh for settings.binning == "gauss"
 ) -> RasterizeOutput:
     H, W = settings.image_height, settings.image_width
+
+    if settings.binning == "gauss":
+        # Gaussian-sharded forward (parallel/gauss_sharded.py): each chip
+        # owns an N/C shard, bins it locally, and an all-to-all delivers
+        # (row, key) payloads to the tile owners — the Mip-NeRF360-scale
+        # path where replicating the Gaussians is impossible.
+        assert mesh is not None, 'binning="gauss" needs a 1-D "gauss" mesh'
+        from ..parallel.gauss_sharded import rasterize_gauss_sharded
+
+        rgb, feat, final_t, total, dropped, radii = rasterize_gauss_sharded(
+            mesh, settings._replace(binning="sort"), means3d, opacities,
+            viewmatrix, projmatrix, campos, bg, scales=scales,
+            rotations=rotations, colors_precomp=colors_precomp, shs=shs,
+            quick_weights=quick_weights, quick_indices=quick_indices,
+            quick_channels=quick_channels,
+            pair_capacity=settings.pair_capacity or None)
+        return RasterizeOutput(
+            rgb=rgb, feature_map=feat, radii=radii,
+            final_transmittance=final_t,
+            max_tile_count=jnp.asarray(0, jnp.int32),
+            total_entries=total, dropped_entries=dropped)
 
     if quick_train and quick_weights is not None:
         # Feature-phase training via the top-k representation: on TPU the

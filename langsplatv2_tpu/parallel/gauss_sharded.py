@@ -43,7 +43,7 @@ def rasterize_gauss_sharded(
     mesh: Mesh,
     settings: RasterizeSettings,
     means3d, opacities, viewmatrix, projmatrix, campos, bg,
-    scales=None, rotations=None, colors_precomp=None,
+    scales=None, rotations=None, colors_precomp=None, shs=None,
     quick_weights=None, quick_indices=None, quick_channels: int = 192,
     *,
     axis: str = "gauss",
@@ -51,10 +51,11 @@ def rasterize_gauss_sharded(
 ):
     """Forward render with Gaussians sharded over `axis` (a 1-D mesh axis;
     the same chips own contiguous tile strips). Per-Gaussian arrays must be
-    shardable: N divisible by mesh.shape[axis]. Colors must be precomputed
-    (`colors_precomp`; evaluate SH with ops.projection.sh_to_color first —
-    it is embarrassingly parallel over the shard, the exchange payload
-    carries the resulting RGB).
+    shardable: N divisible by mesh.shape[axis]. Colors come either
+    precomputed (`colors_precomp`) or as SH coefficients (`shs` [N, B, 3],
+    evaluated IN-SHARD during preprocessing — embarrassingly parallel over
+    the gauss axis; the exchange payload carries the resulting RGB either
+    way).
 
     Returns (rgb [3,H,W], feature_map | None, final_t [H,W],
     total_entries [], dropped_entries []) — `dropped_entries` > 0 means a
@@ -76,15 +77,19 @@ def rasterize_gauss_sharded(
     quick = quick_weights is not None
 
     zeros_n = jnp.zeros((n,), jnp.float32)
+    use_shs = colors_precomp is None and shs is not None
     cols_in = colors_precomp if colors_precomp is not None else \
         jnp.zeros((n, 3), jnp.float32)
+    shs_in = shs if use_shs else jnp.zeros((n, 1, 3), jnp.float32)
     qw_in = quick_weights if quick else jnp.zeros((n, 2), jnp.float32)
     qi_in = quick_indices if quick else jnp.zeros((n, 2), jnp.float32)
 
-    def shard_fn(means, ops, scs, rots, cols, qw, qi, view, projm, cpos, bgc):
+    def shard_fn(means, ops, scs, rots, cols, sh_c, qw, qi, view, projm,
+                 cpos, bgc):
         idx = lax.axis_index(axis)
         proj = projection.preprocess(
-            means, scs, rots, None, None, cols, view, projm, cpos,
+            means, scs, rots, None, sh_c if use_shs else None,
+            None if use_shs else cols, view, projm, cpos,
             settings.tanfovx, settings.tanfovy, W, H,
             settings.sh_degree, settings.scale_modifier,
             opacities=ops[:, 0])
@@ -180,15 +185,15 @@ def rasterize_gauss_sharded(
         total = lax.psum(total_l, axis)
         dropped = lax.psum(dropped_local, axis)
         if quick:
-            return (rgb_t, feat_t, t_t, total, dropped)
-        return (rgb_t, t_t, total, dropped)
+            return (rgb_t, feat_t, t_t, proj.radius, total, dropped)
+        return (rgb_t, t_t, proj.radius, total, dropped)
 
     gspec = P(axis)
-    out_specs = ((gspec, gspec, gspec, P(), P()) if quick
-                 else (gspec, gspec, P(), P()))
+    out_specs = ((gspec, gspec, gspec, gspec, P(), P()) if quick
+                 else (gspec, gspec, gspec, P(), P()))
     out = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(gspec, gspec, gspec, gspec, gspec, gspec, gspec,
+        in_specs=(gspec, gspec, gspec, gspec, gspec, gspec, gspec, gspec,
                   P(), P(), P(), P()),
         out_specs=out_specs,
         check_rep=False,
@@ -196,12 +201,12 @@ def rasterize_gauss_sharded(
       scales if scales is not None else jnp.ones((n, 3), jnp.float32),
       rotations if rotations is not None else
       jnp.concatenate([jnp.ones((n, 1)), jnp.zeros((n, 3))], axis=1),
-      cols_in, qw_in, qi_in, viewmatrix, projmatrix, campos,
+      cols_in, shs_in, qw_in, qi_in, viewmatrix, projmatrix, campos,
       jnp.asarray(bg, jnp.float32))
     if quick:
-        rgb_t, feat_t, t_t, total, dropped = out
+        rgb_t, feat_t, t_t, radii, total, dropped = out
     else:
-        rgb_t, t_t, total, dropped = out
+        rgb_t, t_t, radii, total, dropped = out
         feat_t = None
 
     rgb = rasterize_tiles.tiles_to_image(
@@ -211,4 +216,4 @@ def rasterize_gauss_sharded(
         if feat_t is not None else None)
     final_t = rasterize_tiles.tiles_to_image(
         t_t[:num_tiles][..., None], grid_x, grid_y, H, W)[0]
-    return rgb, feat, final_t, total, dropped
+    return rgb, feat, final_t, total, dropped, radii

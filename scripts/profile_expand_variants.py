@@ -93,7 +93,13 @@ def main():
                 pallas_binning.WINDOW = saved
 
     import os
-    if os.environ.get("LSV2_EXPAND_V2"):
+    if os.environ.get("LSV2_EXPAND_V3"):
+        run("base (C2048 W512 g4)")
+        run("C1024 W384 g8", chunk=1024, window=384, group=8)
+        run("C1024 W256 g8", chunk=1024, window=256, group=8)
+        run("C512 W256 g16", chunk=512, window=256, group=16)
+        run("C1024 W384 g4", chunk=1024, window=384, group=4)
+    elif os.environ.get("LSV2_EXPAND_V2"):
         run("base (C2048 W512 g4)")
         run("C4096 g2", chunk=4096, group=2)
         run("C8192 g1", chunk=8192, group=1)

@@ -256,7 +256,7 @@ class TestGaussSharded:
                 np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32))
         cols = jnp.asarray(
             np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32)
-        rgb, feat, final_t, total, dropped = rasterize_gauss_sharded(
+        rgb, feat, final_t, total, dropped, _radii = rasterize_gauss_sharded(
             self._mesh(), settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"],
             jnp.zeros(3), scales=g["scales"], rotations=g["rotations"],
@@ -291,7 +291,7 @@ class TestGaussSharded:
             cam["projmatrix"], cam["campos"], jnp.zeros(3),
             quick_weights=jnp.asarray(qw), quick_indices=jnp.asarray(qi),
             quick_channels=L_ * K_, **common)
-        rgb, feat, final_t, total, dropped = rasterize_gauss_sharded(
+        rgb, feat, final_t, total, dropped, _radii = rasterize_gauss_sharded(
             self._mesh(), settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"],
             jnp.zeros(3), quick_weights=jnp.asarray(qw),
@@ -310,12 +310,37 @@ class TestGaussSharded:
         settings = settings_for(cam, max_entries=2 ** 13)
         # Huge splats: every gaussian touches every tile, so each (src, dst)
         # pair gets ~n/8 * tiles_per entries >> 128.
-        *_, dropped = rasterize_gauss_sharded(
+        *_, dropped, _radii = rasterize_gauss_sharded(
             self._mesh(), settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"],
             jnp.zeros(3), scales=jnp.full((n, 3), 1.0),
             rotations=g["rotations"], pair_capacity=128)
         assert int(dropped) > 0
+
+    def test_in_shard_sh_and_facade_routing(self, rng):
+        """SH colors evaluated IN-SHARD (no colors_precomp requirement)
+        must match the single-device SH render, via the rasterize() facade
+        routing (settings.binning="gauss" + mesh)."""
+        n = 160
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13)
+        single = rasterize(
+            settings._replace(impl="pallas", binning="sort"),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"])
+        out = rasterize(
+            settings._replace(binning="gauss", pair_capacity=2048),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+            mesh=self._mesh())
+        assert int(out.dropped_entries) == 0
+        np.testing.assert_allclose(np.asarray(out.rgb),
+                                   np.asarray(single.rgb), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out.radii),
+                                      np.asarray(single.radii))
 
 
 class TestDistributedBootstrap:
