@@ -342,6 +342,49 @@ class TestGaussSharded:
         np.testing.assert_array_equal(np.asarray(out.radii),
                                       np.asarray(single.radii))
 
+    def test_feature_train_grads_match_single_device(self, rng):
+        """d(quick_weights) through the exchange (replay on the tile owner,
+        reverse all-to-all, scatter onto the Gaussian shard) must equal the
+        single-chip quick-train VJP's gradient."""
+        from langsplatv2_tpu.ops.pallas_train import rasterize_quick_train
+        from langsplatv2_tpu.parallel.gauss_sharded import (
+            rasterize_gauss_sharded_feature_train)
+
+        n = 160
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13, assemble=True)
+        r2 = np.random.default_rng(11)
+        K_, TOPK = 64, 4  # one level (training is per-level)
+        qw = r2.uniform(0, 1, (n, TOPK)).astype(np.float32)
+        qi = r2.integers(0, K_, (n, TOPK)).astype(np.float32)
+        cols = jnp.asarray(r2.uniform(0, 1, (n, 3)), jnp.float32)
+        probe = jnp.asarray(r2.standard_normal((K_, H, W)), jnp.float32)
+        common = dict(scales=g["scales"], rotations=g["rotations"])
+
+        def loss_single(qw_):
+            _, feat, *_ = rasterize_quick_train(
+                settings._replace(impl="pallas", binning="sort"),
+                g["means3d"], g["opacities"], cam["viewmatrix"],
+                cam["projmatrix"], cam["campos"], jnp.zeros(3),
+                g["scales"], g["rotations"], None, cols, qw_,
+                jnp.asarray(qi), K_)
+            return jnp.sum(feat * probe)
+
+        def loss_sharded(qw_):
+            _, feat, *_ = rasterize_gauss_sharded_feature_train(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), qw_, jnp.asarray(qi), K_,
+                colors_precomp=cols, pair_capacity=2048, **common)
+            return jnp.sum(feat * probe)
+
+        l1, d1 = jax.value_and_grad(loss_single)(jnp.asarray(qw))
+        l2, d2 = jax.value_and_grad(loss_sharded)(jnp.asarray(qw))
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   atol=1e-4, rtol=1e-4)
+
 
 class TestDistributedBootstrap:
     def test_single_process_noop(self):
