@@ -266,12 +266,56 @@ def main():
     fps = KREP / (time.time() - t0)
     log(f"production query path, on-device loop: {fps:.2f} FPS")
 
+    # Secondary: reference-benchmark-equivalent LOAD. The 450+ FPS A100
+    # claim is measured on trained LERF scenes at dataset resolution
+    # (986x728 = 0.72MP, eval_lerf.py renders the scene cameras), not on
+    # 1080p(2.07MP)/5M-entry frames — the headline above is a ~3x heavier
+    # frame. Same scene, LERF-resolution camera: apples-to-apples per-chip
+    # number against the title claim.
+    lH, lW = 728, 986
+    lfovx = 2 * math.atan(math.tan(fovy / 2) * lW / lH)
+    lproj = jnp.asarray(
+        w2c.T @ get_projection_matrix(0.01, 100, lfovx, fovy).T, jnp.float32)
+    lset = settings0._replace(
+        image_height=lH, image_width=lW, tanfovx=math.tan(lfovx / 2),
+        max_entries=2_600_000)
+    frame_l0 = make_frame(lset)
+    _, _, ltot, llive = frame_l0(view, lproj, *scene_args)
+    ltot, llive = int(ltot), int(llive)
+    lbudget = min(-(-int(ltot * 1.07) // 4096) * 4096, 2_600_000)
+    llive_b = min(-(-int(llive * 1.07) // 4096) * 4096, lbudget)
+    frame_lerf = make_frame(lset._replace(max_entries=lbudget,
+                                          live_entries=llive_b))
+
+    @jax.jit
+    def frames_scan_lerf(view, proj, eps, *scene):
+        def body(carry, e):
+            rgb, heat, tot, _live = frame_lerf.__wrapped__(
+                view.at[3, 0].add(e), proj, *scene)
+            return carry + rgb[0, 0, 0] + heat[0, 0, 0], tot
+
+        acc, tots = jax.lax.scan(body, 0.0, eps)
+        return acc, tots
+
+    t0 = time.time()
+    acc, _ = frames_scan_lerf(view, lproj, jit_eps, *scene_args)
+    _ = float(acc)
+    log(f"lerf-load scan compile+first: {time.time() - t0:.1f}s "
+        f"entries={ltot} live={llive}")
+    t0 = time.time()
+    acc, _ = frames_scan_lerf(view, lproj, jit_eps, *scene_args)
+    _ = float(acc)
+    fps_lerf = KREP / (time.time() - t0)
+    log(f"reference-load (986x728) query path, on-device loop: "
+        f"{fps_lerf:.2f} FPS")
+
     print(json.dumps({
         "metric": "language_feature_render_fps_1080p",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "decode_path_fps": round(fps_decode, 2),
+        "reference_load_728p_fps": round(fps_lerf, 2),
         "entries": tot,
     }))
 

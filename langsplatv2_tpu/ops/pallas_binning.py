@@ -74,13 +74,24 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         return pl.multiple_of(jnp.minimum(al, n_gauss_cols - WINDOW), LANE)
 
     def win_dma(w):
+        # 3 slots: while computing on slot w%3, slots (w+1)%3 and (w+2)%3
+        # hold the next window and the speculative one after it.
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(win_start(w), WINDOW)], win_buf, sem)
+            rows_hbm.at[:, pl.ds(win_start(w), WINDOW)], win_buf.at[w % 3],
+            sem.at[w % 3])
 
     def loop_body(state):
         w, rows_acc, _ = state
         win_dma(w).wait()
-        win = win_buf[...]                         # [ROW_W, WINDOW]
+        # Speculative double-buffered prefetch: start window w+2 BEFORE
+        # computing on w, so the next iteration's DMA overlaps this
+        # iteration's compare+matmul instead of serializing after it
+        # (the sweep is latency-bound: ~32KB windows, ~1.5us compute).
+        # Reads past the needed coverage are safe — win_start clamps.
+        @pl.when(w + 2 < max_windows)
+        def _():
+            win_dma(w + 2).start()
+        win = win_buf[w % 3]                       # [ROW_W, WINDOW]
 
         off = win[3:4, :]                          # [1, WINDOW] entry offsets
         n_tiles = jnp.maximum(win[2:3, :], 0.0) * jnp.maximum(win[6:7, :], 0.0)
@@ -106,10 +117,6 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         # Covered once some window column's offset passes the chunk end
         # (offsets are nondecreasing; pad columns carry a huge offset).
         covered = jnp.max(off) > (e0 + CHUNK - 1)
-
-        @pl.when(jnp.logical_not(covered) & (w + 1 < max_windows))
-        def _():
-            win_dma(w + 1).start()
         return w + 1, rows_acc, covered
 
     def loop_cond(state):
@@ -117,9 +124,23 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         return (w < max_windows) & jnp.logical_not(covered)
 
     win_dma(0).start()
-    _, rows, _ = lax.while_loop(
+    if max_windows > 1:                    # static bound
+        win_dma(1).start()
+
+    w_exit, rows, _ = lax.while_loop(
         loop_cond, loop_body,
         (0, jnp.zeros((CHUNK, ROW_W), jnp.float32), jnp.asarray(False)))
+
+    # Drain speculative in-flight DMAs (w_exit and w_exit+1 may have been
+    # started but not waited): an orphan DMA would corrupt the next chunk's
+    # buffers and unbalance the semaphores.
+    @pl.when(w_exit < max_windows)
+    def _():
+        win_dma(w_exit).wait()
+
+    @pl.when(w_exit + 1 < max_windows)
+    def _():
+        win_dma(w_exit + 1).wait()
 
     # Field lanes: transpose the selected rows once, then unpack.
     rows_t = jnp.transpose(rows, (1, 0))           # [ROW_W, CHUNK]
@@ -275,8 +296,8 @@ def expand_entries_pallas(
             pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROW_W, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((3, ROW_W, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -355,17 +376,37 @@ def _vectorized_searchsorted_left(sorted_vals: jnp.ndarray, queries: jnp.ndarray
     return lo
 
 
-def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None):
+def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None,
+                             with_perm: bool = False):
     """Sort packed keys (the pack_sort_keys tuple); derive
-    (gauss_sorted, tile_start, tile_count, tile_sorted)."""
+    (gauss_sorted, tile_start, tile_count, tile_sorted).
+
+    with_perm=True appends the sort permutation (each sorted entry's
+    pre-sort = EXPANSION slot) as a 5th output — one extra u32 sort operand
+    (~0.6 ms/M entries). The training backwards use it to return per-entry
+    gradients to gaussian-major expansion order with a sort instead of a
+    scatter (see pallas_train._quick_vjp_bwd)."""
     if _legacy_num_tiles is not None:        # (hi, lo, num_tiles) call form
         keys, num_tiles = (keys, num_tiles), _legacy_num_tiles
+    perm = None
     if len(keys) == 2:
-        hi_sorted, lo_sorted = lax.sort(keys, num_keys=2, is_stable=False)
+        if with_perm:
+            iota = jnp.arange(keys[0].shape[0], dtype=jnp.uint32)
+            # Keys are unique for live entries (gauss id rides lo), so
+            # the perm-carrying sort stays deterministic without stability.
+            hi_sorted, lo_sorted, perm = lax.sort(
+                (*keys, iota), num_keys=2, is_stable=False)
+        else:
+            hi_sorted, lo_sorted = lax.sort(keys, num_keys=2, is_stable=False)
         gauss_sorted = (lo_sorted & jnp.uint32(GAUSS_MASK)).astype(jnp.int32)
         tile_sorted = (hi_sorted >> 19).astype(jnp.int32)
     else:
-        k0, _k1, k2 = lax.sort(keys, num_keys=3, is_stable=False)
+        if with_perm:
+            iota = jnp.arange(keys[0].shape[0], dtype=jnp.uint32)
+            k0, _k1, k2, perm = lax.sort(
+                (*keys, iota), num_keys=3, is_stable=False)
+        else:
+            k0, _k1, k2 = lax.sort(keys, num_keys=3, is_stable=False)
         gauss_sorted = k2.astype(jnp.int32)
         tile_sorted = k0.astype(jnp.int32)
     n_bits = max(1, int(np.ceil(np.log2(tile_sorted.shape[0] + 1))) + 1)
@@ -373,4 +414,6 @@ def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None):
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), n_bits)
     tile_start = bounds[:num_tiles].astype(jnp.int32)
     tile_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    if with_perm:
+        return gauss_sorted, tile_start, tile_count, tile_sorted, perm
     return gauss_sorted, tile_start, tile_count, tile_sorted

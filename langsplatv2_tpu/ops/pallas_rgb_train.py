@@ -302,7 +302,8 @@ def rgb_grads_pallas(
 # ---------------------------------------------------------------------------
 
 def _rgb_core_fwd_impl(settings, xy, conic, op_vec, rgb, g_sorted_f,
-                       tile_start_f, tile_count_f, valid_f):
+                       tile_start_f, tile_count_f, valid_f, expidx_f,
+                       tiles_f):
     from .rasterize import _pallas_supported
 
     grid_x, grid_y = settings.grid_x, settings.grid_y
@@ -324,13 +325,13 @@ def _rgb_core_fwd_impl(settings, xy, conic, op_vec, rgb, g_sorted_f,
     # rgb_t here excludes the background term (bg=0): the caller composites
     # bg outside the VJP so d(T_final) sees the bg path through XLA.
     residuals = (entry_geom, tile_start, tile_count, g_sorted, valid_f,
-                 rgb_t, t_t, xy.shape[0])
+                 rgb_t, t_t, xy.shape[0], expidx_f, tiles_f)
     return (rgb_t, t_t), residuals
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def rgb_blend_core(settings, xy, conic, op_vec, rgb, g_sorted_f,
-                   tile_start_f, tile_count_f, valid_f):
+                   tile_start_f, tile_count_f, valid_f, expidx_f, tiles_f):
     """Tile blend (RGB mode, bg-free) with a Pallas forward AND backward.
 
     Integer binning arrays travel bitcast to f32 (bit-preserving; their
@@ -338,20 +339,23 @@ def rgb_blend_core(settings, xy, conic, op_vec, rgb, g_sorted_f,
     Returns (rgb_tiles [T, P, 3] WITHOUT background, final_T [T, P]).
     """
     return _rgb_core_fwd_impl(settings, xy, conic, op_vec, rgb, g_sorted_f,
-                              tile_start_f, tile_count_f, valid_f)[0]
+                              tile_start_f, tile_count_f, valid_f,
+                              expidx_f, tiles_f)[0]
 
 
 def _rgb_core_vjp_fwd(settings, xy, conic, op_vec, rgb, g_sorted_f,
-                      tile_start_f, tile_count_f, valid_f):
+                      tile_start_f, tile_count_f, valid_f, expidx_f,
+                      tiles_f):
     return _rgb_core_fwd_impl(settings, xy, conic, op_vec, rgb, g_sorted_f,
-                              tile_start_f, tile_count_f, valid_f)
+                              tile_start_f, tile_count_f, valid_f,
+                              expidx_f, tiles_f)
 
 
 def _rgb_core_vjp_bwd(settings, res, cot):
     from .rasterize import _pallas_supported
 
     (entry_geom, tile_start, tile_count, g_sorted, valid_f, rgb_t, t_t,
-     n) = res
+     n, expidx_f, tiles_f) = res
     g_rgb_t, g_t_t = cot
     grid_x, grid_y = settings.grid_x, settings.grid_y
     interp = not _pallas_supported()
@@ -371,17 +375,31 @@ def _rgb_core_vjp_bwd(settings, res, cot):
         grid_x=grid_x, grid_y=grid_y, interpret=interp)
 
     entry_valid = lax.bitcast_convert_type(valid_f, jnp.int32) > 0
-    # Scatter 64-wide, not N_GRAD(9)-wide: narrow scatter-adds hit a ~5x
-    # performance cliff on this hardware (measured 171 ms at width 12 vs
-    # 37 ms at width 64 for the same update count).
-    scat_w = 64
+    e = g_sorted.shape[0]
     dgrad = jnp.where(
         jnp.pad(entry_valid,
                 (0, dgrad.shape[0] - entry_valid.shape[0]))[:, None],
-        dgrad[:, :scat_w], 0.0)
-    e = g_sorted.shape[0]
-    per_gauss = jnp.zeros((n, scat_w), jnp.float32).at[g_sorted].add(
-        dgrad[:e])[:, :N_GRAD]
+        dgrad[:, :N_GRAD], 0.0)[:e]
+    # Scatter-free E->N reduction: sort the 9 gradient columns back to
+    # gaussian-major EXPANSION order by the carried sort permutation, then
+    # contiguous-segment sums via cumsum + boundary diffs at the expansion
+    # offsets (w16-padded boundary rows: narrow gathers cliff below w8).
+    # Replaces the 64-wide-padded scatter-add (measured 37 ms at 2M
+    # updates) with ~14 ms of sort+cumsum.
+    expidx = lax.bitcast_convert_type(expidx_f, jnp.uint32)
+    tiles_touched = lax.bitcast_convert_type(tiles_f, jnp.int32)
+    cols = tuple(dgrad[:, j] for j in range(N_GRAD))
+    sorted_back = lax.sort((expidx, *cols), num_keys=1, is_stable=False)
+    s_exp = jnp.stack(sorted_back[1:], axis=1)               # [E, 9]
+    s_exp = jnp.pad(s_exp, ((0, 0), (0, 16 - N_GRAD)))
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 16), jnp.float32), jnp.cumsum(s_exp, axis=0)],
+        axis=0)                                              # [E+1, 16]
+    offsets = jnp.cumsum(tiles_touched) - tiles_touched
+    starts = jnp.minimum(offsets, e)
+    ends = jnp.minimum(offsets + tiles_touched, e)
+    bounds = csum[jnp.concatenate([starts, ends])]           # [2N, 16]
+    per_gauss = (bounds[n:] - bounds[:n])[:, :N_GRAD]
 
     d_xy = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
@@ -393,7 +411,9 @@ def _rgb_core_vjp_bwd(settings, res, cot):
             jnp.zeros(g_sorted.shape, jnp.float32),
             jnp.zeros(tile_start.shape, jnp.float32),
             jnp.zeros(tile_count.shape, jnp.float32),
-            jnp.zeros(valid_f.shape, jnp.float32))
+            jnp.zeros(valid_f.shape, jnp.float32),
+            jnp.zeros(expidx_f.shape, jnp.float32),
+            jnp.zeros(tiles_f.shape, jnp.float32))
 
 
 rgb_blend_core.defvjp(_rgb_core_vjp_fwd, _rgb_core_vjp_bwd)
@@ -437,14 +457,17 @@ def rasterize_rgb_vjp(settings, means3d, opacities, viewmatrix, projmatrix,
         settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
         exact_cull=True, interpret=interp)
     keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-    g_sorted, tile_start, tile_count, tile_sorted = (
-        pallas_binning.sorted_binning_from_keys(keys, num_tiles))
+    g_sorted, tile_start, tile_count, tile_sorted, expidx = (
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles,
+                                                with_perm=True))
     valid = (tile_sorted < num_tiles).astype(jnp.int32)
 
     bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
     rgb_t, t_t = rgb_blend_core(
         settings, xy, proj.conic, opacities[:, 0], proj.rgb,
-        bc(g_sorted), bc(tile_start), bc(tile_count), bc(valid))
+        bc(g_sorted), bc(tile_start), bc(tile_count), bc(valid),
+        bc(expidx),
+        bc(lax.stop_gradient(proj.tiles_touched.astype(jnp.int32))))
 
     rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
     final_t = rasterize_tiles.tiles_to_image(

@@ -400,11 +400,21 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
         exact_cull=True, interpret=interp)
     keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-    g_sorted, tile_start, tile_count, tile_sorted = (
-        pallas_binning.sorted_binning_from_keys(keys, num_tiles))
 
     topk = quick_weights.shape[1]
     packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4
+    if packed:
+        # Carry the sort permutation (expansion slot per sorted entry):
+        # the backward returns per-entry gradients to gaussian-major
+        # expansion order with one sort + cumsum instead of the E->N
+        # scatter-add (measured 36 ms vs ~10 ms at 1.6M entries).
+        g_sorted, tile_start, tile_count, tile_sorted, expidx = (
+            pallas_binning.sorted_binning_from_keys(
+                keys, num_tiles, with_perm=True))
+    else:
+        g_sorted, tile_start, tile_count, tile_sorted = (
+            pallas_binning.sorted_binning_from_keys(keys, num_tiles))
+        expidx = None
     if packed:
         # Per-level training (topk <= 4): the WHOLE entry state — geometry,
         # index pairs, weights — packs into ONE 16-wide f32 row, halving
@@ -443,7 +453,8 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
 
     outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total)
     residuals = (entry_geom, tile_start, tile_count, g_sorted,
-                 tile_sorted < num_tiles, quick_indices)
+                 tile_sorted < num_tiles, quick_indices, expidx,
+                 lax.stop_gradient(proj.tiles_touched.astype(jnp.int32)))
     return outputs, residuals
 
 
@@ -492,7 +503,7 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
     from .rasterize import _pallas_supported
 
     (entry_geom, tile_start, tile_count, g_sorted, entry_valid,
-     quick_indices), args = res
+     quick_indices, expidx, tiles_touched), args = res
     # Contract: this route only differentiates the FEATURE MAP. The rgb /
     # final_transmittance / radii / total cotangents are intentionally
     # dropped (feature-phase losses never touch them — geometry is frozen,
@@ -519,17 +530,55 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
                 )[:, None],
         dfeat_entries[:, :feat_k], 0.0)
     e = g_sorted.shape[0]
-    d_dense = jnp.zeros((n, feat_k), jnp.float32).at[g_sorted].add(
-        dfeat_entries[:e])
-    # VJP of the on-chip scatter: each top-k lane's gradient is the dense
-    # gradient at its channel. As compare + einsum, NOT take_along_axis —
-    # per-element gathers run at ~90M elem/s on this hardware (40 ms for
-    # [300k, 64] -> 12; the einsum form is sub-ms on the MXU).
-    ch = jnp.arange(feat_k, dtype=jnp.int32)
-    onehot = (quick_indices.astype(jnp.int32)[:, :, None]
-              == ch[None, None, :]).astype(jnp.float32)       # [N, S, C]
-    d_qw = jnp.einsum("nc,njc->nj", d_dense, onehot,
-                      precision=jax.lax.Precision.HIGHEST)
+    topk = quick_indices.shape[1]
+    if expidx is not None:
+        # Scatter-free reduction (packed/f32pack path). d_qw[g, j] needs
+        # only Sum_{entries of g} dfeat[entry, idx_j(g)]:
+        #   1. project each entry's dense grad onto ITS OWN top-k channels
+        #      (indices ride the field-major geometry rows — free slicing,
+        #      no [E, 4] gather, which sits on the w4 gather cliff);
+        #   2. sort the [E, topk] projections back to EXPANSION order by
+        #      the carried permutation — expansion order is gaussian-major,
+        #      so per-gaussian sums become contiguous-segment sums;
+        #   3. cumsum + boundary diffs at the expansion offsets (w8 rows:
+        #      w4 boundary gathers fall off the narrow-gather cliff).
+        # Replaces the E->N scatter-add (36 ms) + dense d_qw einsum (4 ms)
+        # with ~10 ms of sort+cumsum at 1.6M entries.
+        dfe = dfeat_entries[:e]                              # [E, K]
+        pairs = entry_geom[pallas_blend.QUICK_PCOL:
+                           pallas_blend.QUICK_PCOL + (topk + 1) // 2, :e]
+        chan = jnp.arange(feat_k, dtype=jnp.float32)
+        cols = []
+        for j in range(topk):
+            pair = pairs[j // 2]
+            hi = jnp.floor(pair * (1.0 / pallas_blend.PAIR_BASE))
+            ij = pair - hi * pallas_blend.PAIR_BASE if j % 2 == 0 else hi
+            cols.append(jnp.sum(
+                dfe * (ij[:, None] == chan[None, :]), axis=1))
+        sorted_back = lax.sort((expidx, *cols), num_keys=1, is_stable=False)
+        s_exp = jnp.stack(sorted_back[1:], axis=1)           # [E, topk]
+        s_exp = jnp.pad(s_exp, ((0, 0), (0, 8 - topk)))
+        csum = jnp.concatenate(
+            [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(s_exp, axis=0)],
+            axis=0)                                          # [E+1, 8]
+        offsets = jnp.cumsum(tiles_touched) - tiles_touched
+        starts = jnp.minimum(offsets, e)
+        ends = jnp.minimum(offsets + tiles_touched, e)
+        bounds = csum[jnp.concatenate([starts, ends])]       # [2N, 8] w8
+        d_qw = (bounds[n:] - bounds[:n])[:, :topk]
+    else:
+        d_dense = jnp.zeros((n, feat_k), jnp.float32).at[g_sorted].add(
+            dfeat_entries[:e])
+        # VJP of the on-chip scatter: each top-k lane's gradient is the
+        # dense gradient at its channel. As compare + einsum, NOT
+        # take_along_axis — per-element gathers run at ~90M elem/s on this
+        # hardware (40 ms for [300k, 64] -> 12; the einsum form is sub-ms
+        # on the MXU).
+        ch = jnp.arange(feat_k, dtype=jnp.int32)
+        onehot = (quick_indices.astype(jnp.int32)[:, :, None]
+                  == ch[None, None, :]).astype(jnp.float32)   # [N, S, C]
+        d_qw = jnp.einsum("nc,njc->nj", d_dense, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
 
     zeros = [None if a is None else jnp.zeros_like(a) for a in args]
     zeros[-2] = d_qw
