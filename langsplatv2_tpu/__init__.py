@@ -63,4 +63,44 @@ def _honor_jax_platforms_env() -> None:
         pass
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for every entry point.
+
+    The reference pays zero compile cost; on TPU the cold jit of the
+    rasterizer pipeline is tens of seconds — this makes it once per
+    machine instead of once per process (bench/train/serve/eval all import
+    this package). Opt out with LSV2_NO_COMPILE_CACHE=1; relocate with
+    LSV2_COMPILE_CACHE_DIR. Measured caveat (ROADMAP): this dev
+    environment's remote-compile axon backend writes entries but does not
+    hit them — the cache pays off on standard TPU VMs and the CPU backend
+    (including repeat test-suite runs), where XLA compiles locally.
+    """
+    import os
+
+    if os.environ.get("LSV2_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        # Remote-compile environments build executables on a DIFFERENT
+        # machine (observed: AOT CPU results carrying AMX/prefer-no-gather
+        # features this host lacks — XLA warns of possible SIGILL), and the
+        # TPU path never hits the cache there anyway (measured, ROADMAP).
+        # Persisting those executables across processes is a correctness
+        # risk, not a speedup — skip.
+        return
+    try:
+        import jax
+
+        d = os.environ.get(
+            "LSV2_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "langsplatv2_tpu", "xla"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unsupported jax version / read-only FS — run uncached
+        pass
+
+
 _honor_jax_platforms_env()
+_enable_compilation_cache()
