@@ -6,11 +6,17 @@ kernel built on the structure of the expansion: entries are emitted
 gaussian-major, so the entries of one output chunk come from a *contiguous*
 window of gaussians. Each grid program:
 
-1. DMAs the chunk's gaussian window (contiguous field-major columns — no
-   gather; lane windows are 128-aligned as Mosaic requires),
-2. recovers each entry's source gaussian by comparing the entry id against
-   the window's offset row (a [CHUNK, WINDOW] ownership matrix),
-3. "gathers" the window columns through that one-hot matrix with ONE MXU
+1. DMAs the program's whole gaussian span ONCE (contiguous field-major
+   columns — no gather; the buffer base is 128-aligned as Mosaic requires),
+   double-buffered across grid programs,
+2. per 512-entry chunk, recovers each entry's source gaussian by comparing
+   the entry id against 128-column sub-windows of the buffer (a [CHUNK,
+   SUBW] ownership matrix); the MXU cost of the selection matmul is
+   M*K/128 cycles, so per-entry cost = (columns swept)/128 cycles — small
+   chunks with narrow sub-windows sweep ~3.5x fewer columns per entry than
+   the old per-chunk [2048 x 512] DMA-windowed formulation (measured
+   29.8ms -> ~9ms at 5.3M entries),
+3. "gathers" the sub-window columns through the one-hot matrix with ONE MXU
    matmul (selection-by-matmul is exact in f32 for the packed values),
 4. unpacks the tile rectangle and emits (tile_id, depth, gauss_id).
 
@@ -34,12 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ProjectedGaussians
 
-CHUNK = 2048         # entries per grid program (amortizes ~10us/program overhead)
-WINDOW = 512         # gaussian window columns per sub-step (128-aligned);
-                     # ~390 gaussians own a 2048-entry chunk at bench density,
-                     # so 512 usually covers a chunk in one sweep step while
-                     # keeping the [CHUNK, WINDOW] ownership block 20% smaller
-                     # than the old 640
+CHUNK = 512          # entries per chunk: the ownership matmul costs
+                     # (owners-per-chunk + <=127 alignment waste)/128 MXU
+                     # cycles PER ENTRY, and owners-per-chunk scales with
+                     # CHUNK — smaller chunks sweep fewer columns per entry
+SUBW = 128           # sub-window columns per sweep step (= one lane tile)
+WBUF = 3072          # per-program gaussian span buffer (columns); covers the
+                     # typical span of a program's chunks (~1550 live cols at
+                     # bench density + dead-gaussian interleave + alignment);
+                     # spans beyond it fall back to a per-sub-window DMA
 ROW_W = 16           # packed row: x0 y0 rect_w offset gid depth rect_h grid_x
                      #             cx cy conic_a conic_b conic_c opacity pad pad
 BLOCK = 16           # pixel tile side (matches ops/projection.BLOCK)
@@ -49,60 +58,88 @@ GAUSS_MASK = (1 << 20) - 1
 
 
 def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
-                   win_buf, sem, *, n_gauss_cols: int, max_windows: int,
+                   big_buf, big_sem, spill_buf, spill_sem, *,
+                   n_gauss_cols: int, max_windows: int, n_progs: int,
                    sentinel_tile: int, exact_cull: bool, group: int):
     p = pl.program_id(0)
-    for g in range(group):                 # static unroll: amortizes the
-        _expand_one_chunk(                 # ~5us per-program floor
+
+    def base_for(q):
+        gs0 = g_start_ref[jnp.minimum(q * group, (n_progs * group) - 1)]
+        al = jnp.clip((gs0 // LANE) * LANE, 0, n_gauss_cols - WBUF)
+        return pl.multiple_of(al, LANE)
+
+    def big_dma(slot, q):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(base_for(q), WBUF)], big_buf.at[slot],
+            big_sem.at[slot])
+
+    # Double-buffered span DMA across grid programs: program p waits on the
+    # copy started by p-1 (or by itself for p=0) and immediately starts
+    # p+1's, so the next program's HBM traffic overlaps this one's compute.
+    @pl.when(p == 0)
+    def _():
+        big_dma(0, 0).start()
+
+    big_dma(p % 2, p).wait()
+
+    @pl.when(p + 1 < n_progs)
+    def _():
+        big_dma((p + 1) % 2, p + 1).start()
+
+    base = base_for(p)
+
+    def body(g, _):
+        _expand_one_chunk(
             p * group + g, g, g_start_ref, rows_hbm, tile_out, depth_out,
-            gauss_out, win_buf, sem, n_gauss_cols=n_gauss_cols,
-            max_windows=max_windows, sentinel_tile=sentinel_tile,
-            exact_cull=exact_cull)
+            gauss_out, big_buf.at[p % 2], base, spill_buf, spill_sem,
+            n_gauss_cols=n_gauss_cols, max_windows=max_windows,
+            sentinel_tile=sentinel_tile, exact_cull=exact_cull)
+        return 0
+
+    lax.fori_loop(0, group, body, 0)
 
 
 def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
-                      gauss_out, win_buf, sem, *, n_gauss_cols: int,
-                      max_windows: int, sentinel_tile: int, exact_cull: bool):
+                      gauss_out, big, base, spill_buf, spill_sem, *,
+                      n_gauss_cols: int, max_windows: int,
+                      sentinel_tile: int, exact_cull: bool):
     e0 = c * CHUNK
     gs = g_start_ref[c]
+    gsf = (gs // LANE) * LANE              # 128-aligned sweep origin (>= base)
 
     # Entry ids of this chunk on sublanes: [CHUNK, 1].
     e_ids = (lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + e0).astype(jnp.float32)
 
-    def win_start(w):
-        al = ((gs // LANE) * LANE) + w * WINDOW
-        return pl.multiple_of(jnp.minimum(al, n_gauss_cols - WINDOW), LANE)
-
-    def win_dma(w):
-        # 3 slots: while computing on slot w%3, slots (w+1)%3 and (w+2)%3
-        # hold the next window and the speculative one after it.
-        return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(win_start(w), WINDOW)], win_buf.at[w % 3],
-            sem.at[w % 3])
-
     def loop_body(state):
         w, rows_acc, _ = state
-        win_dma(w).wait()
-        # Speculative double-buffered prefetch: start window w+2 BEFORE
-        # computing on w, so the next iteration's DMA overlaps this
-        # iteration's compare+matmul instead of serializing after it
-        # (the sweep is latency-bound: ~32KB windows, ~1.5us compute).
-        # Reads past the needed coverage are safe — win_start clamps.
-        @pl.when(w + 2 < max_windows)
+        col0 = gsf + w * SUBW              # absolute first column, unclamped
+        rel = col0 - base
+        in_buf = rel + SUBW <= WBUF
+        # Rare fallback: the program's span outran the buffer (heavy
+        # dead-gaussian interleave) — fetch this sub-window synchronously.
+        @pl.when(jnp.logical_not(in_buf))
         def _():
-            win_dma(w + 2).start()
-        win = win_buf[w % 3]                       # [ROW_W, WINDOW]
+            start = pl.multiple_of(
+                jnp.minimum(col0, n_gauss_cols - SUBW), LANE)
+            cp = pltpu.make_async_copy(
+                rows_hbm.at[:, pl.ds(start, SUBW)], spill_buf, spill_sem)
+            cp.start()
+            cp.wait()
+        rel_c = pl.multiple_of(jnp.minimum(rel, WBUF - SUBW), LANE)
+        win = jnp.where(in_buf, big[:, pl.ds(rel_c, SUBW)],
+                        spill_buf[...])    # [ROW_W, SUBW]
 
-        off = win[3:4, :]                          # [1, WINDOW] entry offsets
+        off = win[3:4, :]                  # [1, SUBW] entry offsets
         n_tiles = jnp.maximum(win[2:3, :], 0.0) * jnp.maximum(win[6:7, :], 0.0)
         cnt_end = off + n_tiles
         # Ownership: entry e belongs to window column j iff
-        # off_j <= e < off_j + tiles_j. Columns already seen in an earlier
-        # window (end-clamp overlap) must not double count; folding that
-        # mask into `off` on the [1, WINDOW] row keeps the hot [CHUNK,
-        # WINDOW] block at two compares + one AND.
-        col_idx = lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1) + win_start(w)
-        fresh = col_idx >= (gs // LANE) * LANE + w * WINDOW
+        # off_j <= e < off_j + tiles_j. Columns the end-clamped fallback
+        # window re-reads must not double count; folding that mask into
+        # `off` on the [1, SUBW] row keeps the hot [CHUNK, SUBW] block at
+        # two compares + one AND.
+        col_idx = lax.broadcasted_iota(jnp.int32, (1, SUBW), 1) + \
+            jnp.where(in_buf, col0, jnp.minimum(col0, n_gauss_cols - SUBW))
+        fresh = col_idx >= col0
         off_m = jnp.where(fresh, off, 3.0e38)
         onehot = ((off_m <= e_ids) & (e_ids < cnt_end)).astype(jnp.float32)
         # HIGHEST precision: the default TPU bf16 matmul (8-bit mantissa)
@@ -123,24 +160,10 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         w, _, covered = state
         return (w < max_windows) & jnp.logical_not(covered)
 
-    win_dma(0).start()
-    if max_windows > 1:                    # static bound
-        win_dma(1).start()
-
     w_exit, rows, _ = lax.while_loop(
         loop_cond, loop_body,
         (0, jnp.zeros((CHUNK, ROW_W), jnp.float32), jnp.asarray(False)))
-
-    # Drain speculative in-flight DMAs (w_exit and w_exit+1 may have been
-    # started but not waited): an orphan DMA would corrupt the next chunk's
-    # buffers and unbalance the semaphores.
-    @pl.when(w_exit < max_windows)
-    def _():
-        win_dma(w_exit).wait()
-
-    @pl.when(w_exit + 1 < max_windows)
-    def _():
-        win_dma(w_exit + 1).wait()
+    del w_exit                             # spill DMAs are synchronous
 
     # Field lanes: transpose the selected rows once, then unpack.
     rows_t = jnp.transpose(rows, (1, 0))           # [ROW_W, CHUNK]
@@ -221,7 +244,7 @@ def expand_entries_pallas(
     opacities=None,           # [N] activated; required when exact_cull
     max_windows: int | None = None,
     exact_cull: bool = False,
-    group: int = 4,           # chunks per grid program (overhead amortizer)
+    group: int = 16,          # chunks per grid program (overhead amortizer)
     interpret: bool = False,
 ):
     """Expand gaussians to per-entry (tile_id, depth, gauss_id).
@@ -245,13 +268,15 @@ def expand_entries_pallas(
         jnp.searchsorted(offsets, chunk_starts, side="right").astype(jnp.int32) - 1,
         0)
 
-    n_pad = max(-(-n // LANE) * LANE, WINDOW) + WINDOW
+    # >= SUBW huge-offset pad columns terminate every sweep, and the span
+    # buffer DMA [base, base+WBUF) must stay in bounds for any base.
+    n_pad = max(-(-n // LANE) * LANE + SUBW, WBUF)
     if max_windows is None:
         # Full-coverage bound: the window sweep is a dynamic while_loop that
         # exits as soon as the chunk is covered, so a large static bound is
         # free — and a small one silently DROPS entries when a chunk's owning
         # gaussians are interleaved with long culled runs.
-        max_windows = -(-n_pad // WINDOW)
+        max_windows = -(-n_pad // SUBW)
     rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
     rect_h = jnp.maximum(proj.rect_max[:, 1] - proj.rect_min[:, 1], 0)
     if exact_cull:
@@ -284,7 +309,8 @@ def expand_entries_pallas(
 
     kernel = functools.partial(
         _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
-        sentinel_tile=grid_x * grid_y, exact_cull=exact_cull, group=group)
+        n_progs=n_progs, sentinel_tile=grid_x * grid_y,
+        exact_cull=exact_cull, group=group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -296,8 +322,10 @@ def expand_entries_pallas(
             pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, ROW_W, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, ROW_W, WBUF), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ROW_W, SUBW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
 

@@ -48,13 +48,13 @@ def main():
         w2c.T @ get_projection_matrix(0.01, 100, fovx, fovy).T, jnp.float32)
     eps = jnp.asarray(np.linspace(0, 1e-6, K, dtype=np.float32))
 
-    def run(name, *, window=None, group=4, cull=True, chunk=None):
+    def run(name, *, wbuf=None, group=16, cull=True, chunk=None):
         saved_c = pallas_binning.CHUNK
         if chunk is not None:
             pallas_binning.CHUNK = chunk
-        if window is not None:
-            saved = pallas_binning.WINDOW
-            pallas_binning.WINDOW = window
+        if wbuf is not None:
+            saved = pallas_binning.WBUF
+            pallas_binning.WBUF = wbuf
 
         def one(view_i, means, scales, rots, ops, cols):
             proj = projection.preprocess(
@@ -62,7 +62,7 @@ def main():
                 jnp.zeros(3), math.tan(fovx / 2), math.tan(fovy / 2),
                 w, h, 0, 1.0, opacities=ops[:, 0])
             # .__wrapped__: the jitted wrapper's trace cache would not see
-            # the WINDOW monkeypatch (it keys on argument signatures only).
+            # the WBUF monkeypatch (it keys on argument signatures only).
             tile, depth, gauss, total = \
                 pallas_binning.expand_entries_pallas.__wrapped__(
                     proj, gx, gy, budget, opacities=ops[:, 0],
@@ -89,28 +89,22 @@ def main():
             log(f"{name:32s} compile {ct:5.1f}s  {dt:8.1f} ms")
         finally:
             pallas_binning.CHUNK = saved_c
-            if window is not None:
-                pallas_binning.WINDOW = saved
+            if wbuf is not None:
+                pallas_binning.WBUF = saved
 
     import os
-    if os.environ.get("LSV2_EXPAND_V3"):
-        run("base (C2048 W512 g4)")
-        run("C1024 W384 g8", chunk=1024, window=384, group=8)
-        run("C1024 W256 g8", chunk=1024, window=256, group=8)
-        run("C512 W256 g16", chunk=512, window=256, group=16)
-        run("C1024 W384 g4", chunk=1024, window=384, group=4)
-    elif os.environ.get("LSV2_EXPAND_V2"):
-        run("base (C2048 W512 g4)")
-        run("C4096 g2", chunk=4096, group=2)
-        run("C8192 g1", chunk=8192, group=1)
-        run("C4096 g4", chunk=4096, group=4)
+    if os.environ.get("LSV2_EXPAND_V4"):
+        run("base (C512 WBUF3072 g16)")
+        run("C256 g32", chunk=256, group=32)
         run("C1024 g8", chunk=1024, group=8)
+        run("g8", group=8)
+        run("g32", group=32)
+        run("no exact cull", cull=False)
     else:
-        run("base (W512 g4 cull)")
-        run("W384", window=384)
-        run("W256", window=256)
-        run("group=8", group=8)
-        run("group=2", group=2)
+        run("base (C512 WBUF3072 g16)")
+        run("WBUF2048", wbuf=2048)
+        run("WBUF4096", wbuf=4096)
+        run("C256 g32", chunk=256, group=32)
         run("no exact cull", cull=False)
 
 
