@@ -28,11 +28,13 @@ def main():
     parser.add_argument("--sam_ckpt", type=str,
                         default="ckpts/sam_vit_h_4b8939.pth")
     parser.add_argument("--clip_backend", type=str, default="auto")
-    # "sam": the reference's ViT-H generator (needs the checkpoint);
+    # "sam_jax": the TPU-native Flax port (needs only the checkpoint file
+    #            + torch for the one-time weight conversion);
+    # "sam": the torch ViT-H generator (needs checkpoint + package);
     # "cluster": weights-free color/position k-means fallback;
-    # "auto": sam when its checkpoint+package load, else cluster.
+    # "auto": sam_jax, then torch sam, then cluster.
     parser.add_argument("--mask_backend", type=str, default="auto",
-                        choices=["auto", "sam", "cluster"])
+                        choices=["auto", "sam_jax", "sam", "cluster"])
     args = parser.parse_args()
     seed_everything(42)
 
@@ -42,17 +44,26 @@ def main():
 
     images, names = load_images(args.dataset_path, args.resolution)
     print(f"loaded {len(images)} images")
-    if args.mask_backend == "sam":
+    def jax_sam():
+        from langsplatv2_tpu.preprocess.sam_jax import JaxSamMaskGenerator
+        return JaxSamMaskGenerator(checkpoint=args.sam_ckpt)
+
+    if args.mask_backend == "sam_jax":
+        mask_generator = jax_sam()
+    elif args.mask_backend == "sam":
         mask_generator = SamMaskGenerator(args.sam_ckpt)
     elif args.mask_backend == "cluster":
         mask_generator = ClusterMaskGenerator()
     else:
         try:
-            mask_generator = SamMaskGenerator(args.sam_ckpt)
-        except Exception as e:
-            print(f"SAM unavailable ({e}); using the cluster fallback "
-                  "segmenter")
-            mask_generator = ClusterMaskGenerator()
+            mask_generator = jax_sam()
+        except Exception as e1:
+            try:
+                mask_generator = SamMaskGenerator(args.sam_ckpt)
+            except Exception as e2:
+                print(f"SAM unavailable (jax: {e1}; torch: {e2}); using "
+                      "the cluster fallback segmenter")
+                mask_generator = ClusterMaskGenerator()
     pipeline = PreprocessPipeline(mask_generator, args.clip_backend)
     save_folder = os.path.join(args.dataset_path, "language_features")
     pipeline.run(images, names, save_folder)
