@@ -31,6 +31,10 @@ class RenderOutput(NamedTuple):
     final_transmittance: jnp.ndarray         # [H, W]
     max_tile_count: jnp.ndarray              # [] overflow telemetry
     total_entries: jnp.ndarray               # [] overflow telemetry
+    # [] int32 or None: entries surviving the exact cull (pre live-prefix
+    # clamp) — sizes settings.live_entries; live_total > live_entries
+    # means the clamp dropped real entries.
+    live_total: jnp.ndarray | None = None
 
 
 def make_settings(
@@ -41,6 +45,7 @@ def make_settings(
     tile_cap: int = 1024,
     tile_batch: int = 16,
     impl: str = "auto",
+    live_entries: int = 0,
 ) -> RasterizeSettings:
     return RasterizeSettings(
         image_height=int(camera.image_height),
@@ -53,6 +58,7 @@ def make_settings(
         tile_cap=tile_cap,
         tile_batch=tile_batch,
         impl=impl,
+        live_entries=live_entries,
     )
 
 
@@ -139,6 +145,7 @@ def render(
         final_transmittance=out.final_transmittance,
         max_tile_count=out.max_tile_count,
         total_entries=out.total_entries,
+        live_total=out.live_total,
     )
 
 

@@ -415,6 +415,18 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         g_sorted, tile_start, tile_count, tile_sorted = (
             pallas_binning.sorted_binning_from_keys(keys, num_tiles))
         expidx = None
+    live_total = jnp.sum(tile_count)
+    live = settings.live_entries
+    if packed and 0 < live < settings.max_entries:
+        # Live-prefix clamp (same contract as the serving path,
+        # rasterize._sorted_quick_binning): dead entries sort to the end,
+        # so the gather + replay + backward sort-back all shrink to the
+        # live prefix. live_total (pre-clamp) is the sizing telemetry;
+        # live_total > live means entries were DROPPED — the trainer
+        # rebuilds the step with a bigger budget when it sees that.
+        g_sorted = g_sorted[:live]
+        tile_count = jnp.clip(
+            jnp.minimum(tile_count, live - tile_start), 0, None)
     if packed:
         # Per-level training (topk <= 4): the WHOLE entry state — geometry,
         # index pairs, weights — packs into ONE 16-wide f32 row, halving
@@ -451,9 +463,11 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
     final_t = rasterize_tiles.tiles_to_image(
         t_t[..., None], grid_x, grid_y, H, W)[0]
 
-    outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total)
+    outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total,
+               live_total)
     residuals = (entry_geom, tile_start, tile_count, g_sorted,
-                 tile_sorted < num_tiles, quick_indices, expidx,
+                 (tile_sorted < num_tiles)[:g_sorted.shape[0]],
+                 quick_indices, expidx,
                  lax.stop_gradient(proj.tiles_touched.astype(jnp.int32)))
     return outputs, residuals
 
@@ -510,7 +524,7 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
     # reference train.py:212-259); a future loss term on rgb or final_T
     # during feature training would silently get zero gradient here and
     # must extend the W-replay backward instead.
-    g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot = cotangents
+    g_rgb, g_feat, g_t, g_radii, g_mtc, g_tot, g_live = cotangents
     grid_x, grid_y = settings.grid_x, settings.grid_y
     n = quick_indices.shape[0]
     interp = not _pallas_supported()
@@ -544,26 +558,32 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
         #      w4 boundary gathers fall off the narrow-gather cliff).
         # Replaces the E->N scatter-add (36 ms) + dense d_qw einsum (4 ms)
         # with ~10 ms of sort+cumsum at 1.6M entries.
-        dfe = dfeat_entries[:e]                              # [E, K]
+        dfe = dfeat_entries[:e]                              # [E_live, K]
         pairs = entry_geom[pallas_blend.QUICK_PCOL:
                            pallas_blend.QUICK_PCOL + (topk + 1) // 2, :e]
         chan = jnp.arange(feat_k, dtype=jnp.float32)
+        # e_slots = the FULL expansion slot count; with a live-prefix clamp
+        # (settings.live_entries) e < e_slots and the clamped-away entries
+        # carry zero gradient (the forward never blended them) — pad the
+        # projections so every operand aligns with the full permutation.
+        e_slots = expidx.shape[0]
         cols = []
         for j in range(topk):
             pair = pairs[j // 2]
             hi = jnp.floor(pair * (1.0 / pallas_blend.PAIR_BASE))
             ij = pair - hi * pallas_blend.PAIR_BASE if j % 2 == 0 else hi
-            cols.append(jnp.sum(
-                dfe * (ij[:, None] == chan[None, :]), axis=1))
+            cols.append(jnp.pad(jnp.sum(
+                dfe * (ij[:, None] == chan[None, :]), axis=1),
+                (0, e_slots - e)))
         sorted_back = lax.sort((expidx, *cols), num_keys=1, is_stable=False)
-        s_exp = jnp.stack(sorted_back[1:], axis=1)           # [E, topk]
+        s_exp = jnp.stack(sorted_back[1:], axis=1)           # [E_slots, topk]
         s_exp = jnp.pad(s_exp, ((0, 0), (0, 8 - topk)))
         csum = jnp.concatenate(
             [jnp.zeros((1, 8), jnp.float32), jnp.cumsum(s_exp, axis=0)],
-            axis=0)                                          # [E+1, 8]
+            axis=0)                                          # [E_slots+1, 8]
         offsets = jnp.cumsum(tiles_touched) - tiles_touched
-        starts = jnp.minimum(offsets, e)
-        ends = jnp.minimum(offsets + tiles_touched, e)
+        starts = jnp.minimum(offsets, e_slots)
+        ends = jnp.minimum(offsets + tiles_touched, e_slots)
         bounds = csum[jnp.concatenate([starts, ends])]       # [2N, 8] w8
         d_qw = (bounds[n:] - bounds[:n])[:, :topk]
     else:

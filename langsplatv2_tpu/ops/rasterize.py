@@ -172,14 +172,15 @@ def rasterize(
         if route_pallas and cov3d_precomp is None:
             from .pallas_train import rasterize_quick_train
 
-            rgb, feat, final_t, radii, mtc, tot = rasterize_quick_train(
-                settings, means3d, opacities, viewmatrix, projmatrix,
-                campos, bg, scales, rotations, shs, colors_precomp,
-                quick_weights, quick_indices, quick_channels)
+            rgb, feat, final_t, radii, mtc, tot, live_tot = \
+                rasterize_quick_train(
+                    settings, means3d, opacities, viewmatrix, projmatrix,
+                    campos, bg, scales, rotations, shs, colors_precomp,
+                    quick_weights, quick_indices, quick_channels)
             return RasterizeOutput(
                 rgb=rgb, feature_map=feat, radii=radii,
                 final_transmittance=final_t, max_tile_count=mtc,
-                total_entries=tot)
+                total_entries=tot, live_total=live_tot)
         use_pallas = False
     else:
         # "auto": Pallas for quick-mode inference anywhere, and for RGB

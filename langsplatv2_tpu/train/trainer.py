@@ -379,12 +379,17 @@ def make_feature_train_step(
             m = model.replace(**params)
             out = render(render_settings, m, view, proj, campos, bg,
                          include_feature=True, topk=topk)
+            # live_total sizes the live-prefix budget (Pallas route only;
+            # -1 elsewhere). Threaded as aux so train_features can grow
+            # settings.live_entries when a viewpoint overflows it.
+            live = (jnp.asarray(-1, jnp.int32) if out.live_total is None
+                    else out.live_total)
             if gram:
                 lf = gram_cos_loss_tiles if tiles_mode else gram_cos_loss
                 loss = lf(
                     m.codebooks, out.language_feature_weight_map,
                     gt_a, gt_b, layer_idx)
-                return loss, jnp.asarray(0.0)
+                return loss, (jnp.asarray(0.0), live)
             gt_feature, feature_mask = gt_a, gt_b
             feat = m.compute_layer_feature_map(
                 out.language_feature_weight_map, layer_idx)
@@ -398,21 +403,22 @@ def make_feature_train_step(
             if use_l1_loss:
                 l1 = losses.l1_loss(feat * mask, gt_feature * mask)
                 loss = loss + l1
-            return loss, l1
+            return loss, (l1, live)
 
-        (loss, l1), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (l1, live)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         # Dead (padding) rows must not drift: their logits get no gradient
         # because opacity is forced to 0, but guard explicitly anyway.
         grads["language_logits"] = jnp.where(
             model.live[:, None], grads["language_logits"], 0.0)
-        return params, grads, loss, l1
+        return params, grads, loss, l1, live
 
     if accum_iter > 1:
         @partial(jax.jit, static_argnames=("layer_idx",))
         def step_accum(model: GaussianModel, opt_state, accum, view, proj,
                        campos, bg, gt_a, gt_b, do_update,
                        layer_idx: int = 0):
-            params, grads, loss, l1 = compute_grads(
+            params, grads, loss, l1, live = compute_grads(
                 model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
             grads = jax.tree_util.tree_map(jnp.add, accum, grads)
 
@@ -425,18 +431,19 @@ def make_feature_train_step(
                 do_update, apply_update,
                 lambda _: (params, opt_state, grads), None)
             model = model.replace(**new_params)
-            return model, opt_state_out, accum_out, {"loss": loss, "l1": l1}
+            return model, opt_state_out, accum_out, {
+                "loss": loss, "l1": l1, "live_total": live}
 
         return step_accum
 
     @partial(jax.jit, static_argnames=("layer_idx",))
     def step(model: GaussianModel, opt_state, view, proj, campos, bg,
              gt_a, gt_b, layer_idx: int = 0):
-        params, grads, loss, l1 = compute_grads(
+        params, grads, loss, l1, live = compute_grads(
             model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
         new_params, opt_state = optimizer.update(grads, opt_state, params)
         model = model.replace(**new_params)
-        return model, opt_state, {"loss": loss, "l1": l1}
+        return model, opt_state, {"loss": loss, "l1": l1, "live_total": live}
 
     return step
 
@@ -683,19 +690,32 @@ def train_features(
     loss_space = "gram" if gram else "pixel"
 
     step_cache: dict[tuple, Callable] = {}
+    # Adaptive live-prefix budget per camera signature: 0 = full budget
+    # (the first step per sig measures live_total); after that the step is
+    # rebuilt with a clamped prefix, and any later viewpoint that overflows
+    # it grows the budget and re-runs (pallas_train live-prefix contract).
+    live_budget: dict[tuple, int] = {}
 
-    def get_step(camera):
+    def _grow_budget(lt: int) -> int:
+        return min(max_entries, -(-int(lt * 1.3 + 32768) // 65536) * 65536)
+
+    def cam_sig(camera):
         # (jit re-specializes per GT table shape on its own; the coarse
         # s_pad grid in get_gt keeps that to a few variants.)
-        sig = (camera.image_height, camera.image_width,
-               round(camera.tanfovx, 9), round(camera.tanfovy, 9))
-        if sig not in step_cache:
+        return (camera.image_height, camera.image_width,
+                round(camera.tanfovx, 9), round(camera.tanfovy, 9))
+
+    def get_step(camera, sig):
+        live = live_budget.get(sig, 0)
+        key = sig + (live,)
+        if key not in step_cache:
             settings = make_settings(camera, model.active_sh_degree, 1.0,
-                                     max_entries, tile_cap, tile_batch=16)
-            step_cache[sig] = make_feature_train_step(
+                                     max_entries, tile_cap, tile_batch=16,
+                                     live_entries=live)
+            step_cache[key] = make_feature_train_step(
                 settings, optimizer, topk, use_cos_loss, use_l1_loss,
                 normalize, accum_iter, loss_space=loss_space)
-        return step_cache[sig]
+        return step_cache[key]
 
     def get_gt(cam):
         if feature_cache is not None and cam.image_name in feature_cache:
@@ -725,19 +745,37 @@ def train_features(
         # Layer curriculum (train.py:155-156).
         layer_idx = min(int(iteration / 10000 * layer_num), layer_num - 1)
 
-        step = get_step(cam)
+        sig = cam_sig(cam)
         view, proj, campos, bg = camera_arrays(cam, bg_color)
         gt_feat, gt_mask = get_gt(cam)
-        if accum is None:
-            model, opt_state, metrics = step(
-                model, opt_state, view, proj, campos, bg, gt_feat, gt_mask,
-                layer_idx=layer_idx)
-        else:
-            do_update = jnp.asarray(
-                iteration < iterations and iteration % accum_iter == 0)
-            model, opt_state, accum, metrics = step(
-                model, opt_state, accum, view, proj, campos, bg, gt_feat,
-                gt_mask, do_update, layer_idx=layer_idx)
+        while True:
+            step = get_step(cam, sig)
+            prev = (model, opt_state, accum)
+            if accum is None:
+                model, opt_state, metrics = step(
+                    model, opt_state, view, proj, campos, bg, gt_feat,
+                    gt_mask, layer_idx=layer_idx)
+            else:
+                do_update = jnp.asarray(
+                    iteration < iterations and iteration % accum_iter == 0)
+                model, opt_state, accum, metrics = step(
+                    model, opt_state, accum, view, proj, campos, bg, gt_feat,
+                    gt_mask, do_update, layer_idx=layer_idx)
+            lt = int(metrics.get("live_total", -1))
+            if lt < 0:                      # non-Pallas route: no telemetry
+                break
+            cur = live_budget.get(sig, 0)
+            if cur == 0:
+                # First step ran at the full budget (exact) — tighten for
+                # the rest of the run.
+                live_budget[sig] = _grow_budget(lt)
+                break
+            if lt <= cur:
+                break
+            # The clamp dropped real entries: grow the budget and redo
+            # this iteration from the pre-step state.
+            model, opt_state, accum = prev
+            live_budget[sig] = _grow_budget(lt)
 
         loss = float(metrics["loss"])
         logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss

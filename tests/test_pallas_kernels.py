@@ -437,11 +437,12 @@ class TestQuickTrainVJP:
         qw0, qi = get_weights_and_indices(jnp.asarray(logits), TOPK)
         cot = jnp.asarray(rng.normal(size=(K, h, w)).astype(np.float32))
 
-        def make_loss(impl):
+        def make_loss(impl, live_entries=0):
             st = RasterizeSettings(
                 image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
                 tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 12,
-                tile_cap=256, tile_batch=4, impl=impl)
+                tile_cap=256, tile_batch=4, impl=impl,
+                live_entries=live_entries)
 
             def loss(qw):
                 out = rasterize(
@@ -450,13 +451,22 @@ class TestQuickTrainVJP:
                     scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
                     colors_precomp=cols, quick_weights=qw, quick_indices=qi,
                     quick_channels=K, quick_train=True)
-                return jnp.sum(out.feature_map * cot)
-            return loss
+                return jnp.sum(out.feature_map * cot), out.live_total
+            return lambda qw: loss(qw)[0], loss
 
-        v_x, g_x = jax.value_and_grad(make_loss("xla"))(qw0)
-        v_p, g_p = jax.value_and_grad(make_loss("pallas"))(qw0)
+        v_x, g_x = jax.value_and_grad(make_loss("xla")[0])(qw0)
+        v_p, g_p = jax.value_and_grad(make_loss("pallas")[0])(qw0)
         np.testing.assert_allclose(v_p, v_x, rtol=1e-5)
         np.testing.assert_allclose(g_p, g_x, atol=3e-5)
+
+        # live-prefix clamp (settings.live_entries, trainer contract):
+        # value and grads identical when the prefix covers live_total
+        _, live_total = make_loss("pallas")[1](qw0)
+        live = -(-int(live_total) // 128) * 128
+        assert live < 2 ** 12, "test scene must leave slack for the clamp"
+        v_l, g_l = jax.value_and_grad(make_loss("pallas", live)[0])(qw0)
+        np.testing.assert_allclose(v_l, v_p, rtol=1e-6)
+        np.testing.assert_allclose(g_l, g_p, atol=1e-6)
 
 
 class TestRGBCustomVJP:
