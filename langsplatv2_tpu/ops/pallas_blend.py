@@ -126,6 +126,9 @@ def _blend_kernel(
     rowfmt: str,          # "f32" | "fast16"
     banded: bool,         # fast16: indices respect 64-wide level bands
     query: bool,          # fuse the Gram relevancy query into the epilogue
+    cellbf16: bool,       # fast16: per-entry VPU cell math in bf16 (2x lane
+                          # packing; ~1e-2 relative — still inside the fast
+                          # serving contract). f32 cells otherwise.
 ):
     if query:
         (phi_vmem, gram_vmem, band_vmem, acc_out, t_out,
@@ -136,6 +139,8 @@ def _blend_kernel(
     i = pl.program_id(0)
     fast = rowfmt == "fast16"
     packed = rowfmt == "f32pack"
+    assert not cellbf16 or fast, "bf16 cell math rides the fast16 path"
+    cdt = jnp.bfloat16 if cellbf16 else jnp.float32
     has_feat_dma = (mode in ("dense", "quick") and not combined and not fast
                     and not packed)
 
@@ -177,7 +182,8 @@ def _blend_kernel(
         # Strict lower-triangular ones: cum[p, i] = sum_{j<i} lm[p, j].
         lt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
               < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-              ).astype(jnp.float32)
+              ).astype(cdt)
+        ones_col = jnp.ones((chunk, 1), cdt)
 
     # Program prologue: fetch the first tile's first chunk. Each later
     # tile's chunk 0 is prefetched while its predecessor still computes;
@@ -264,7 +270,13 @@ def _blend_kernel(
                     ppix, coeffs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST)         # [P, chunk]
-                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+                if cellbf16:
+                    # One f32->bf16 cast, then the whole [P, chunk] cell
+                    # chain runs at 2x VPU lane packing.
+                    power = power.astype(cdt)
+                    op = op.astype(cdt)
+                alpha = jnp.minimum(jnp.asarray(ALPHA_MAX, cdt),
+                                    op * jnp.exp(power))
                 valid = in_range & (power <= POWER_TOL) & (alpha >= ALPHA_MIN)
             else:
                 ca = g[2:3, :]
@@ -291,7 +303,7 @@ def _blend_kernel(
                 cum = lax.dot_general(
                     lm, lt, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)      # exclusive sums
-                t_excl = t_test[...] * jnp.exp(cum)
+                t_excl = t_test[...].astype(cdt) * jnp.exp(cum.astype(cdt))
             else:
                 one_minus = 1.0 - alpha
                 t_excl = t_test[...] * _exclusive_cumprod_lanes(
@@ -309,20 +321,29 @@ def _blend_kernel(
                 f_rows = jnp.concatenate(
                     [g, fb[: acc_width - FEAT_COL, :]], axis=0)
             elif fast:                                       # quick fast16
-                r_row = _unpack_hi(g[4:5, :])
-                g_row = _unpack_lo(g[4:5, :])
-                b_row = _unpack_hi(g[5:6, :])
+                r_row = _unpack_hi(g[4:5, :]).astype(cdt)
+                g_row = _unpack_lo(g[4:5, :]).astype(cdt)
+                b_row = _unpack_hi(g[5:6, :]).astype(cdt)
                 ws = []
                 for s in range(6):
-                    ws.append(_unpack_hi(g[F16_W + s:F16_W + s + 1, :]))
-                    ws.append(_unpack_lo(g[F16_W + s:F16_W + s + 1, :]))
+                    # The packed pairs ARE bf16 bit patterns — the cdt cast
+                    # is exact either way.
+                    ws.append(_unpack_hi(
+                        g[F16_W + s:F16_W + s + 1, :]).astype(cdt))
+                    ws.append(_unpack_lo(
+                        g[F16_W + s:F16_W + s + 1, :]).astype(cdt))
                 idx = []
                 for t in range(4):
+                    # Base-256 triple decode needs f32's 24-bit mantissa
+                    # (v up to ~12.6M); the decoded indices (< 256) are then
+                    # exact in bf16, so the eq/mul/add expansion below runs
+                    # at cdt lane packing.
                     v = g[F16_IDX + t:F16_IDX + t + 1, :]
                     i2 = jnp.floor(v * (1.0 / 65536.0))
                     r = v - 65536.0 * i2
                     i1 = jnp.floor(r * (1.0 / 256.0))
-                    idx += [r - 256.0 * i1, i1, i2]
+                    idx += [(r - 256.0 * i1).astype(cdt), i1.astype(cdt),
+                            i2.astype(cdt)]
                 nch = acc_width - F16_FEAT_COL
                 if banded:
                     # Merged quick models give level l the index range
@@ -331,22 +352,21 @@ def _blend_kernel(
                     n_levels = nch // LEVEL_BAND
                     per_level = topk // n_levels
                     ch = lax.broadcasted_iota(
-                        jnp.int32, (LEVEL_BAND, 1), 0).astype(jnp.float32)
+                        jnp.int32, (LEVEL_BAND, 1), 0).astype(cdt)
                     bands = []
                     for lvl in range(n_levels):
-                        b = jnp.zeros((LEVEL_BAND, chunk), jnp.float32)
+                        b = jnp.zeros((LEVEL_BAND, chunk), cdt)
                         for j in range(lvl * per_level, (lvl + 1) * per_level):
-                            local = idx[j] - float(LEVEL_BAND * lvl)
-                            b = b + ws[j] * (local == ch).astype(jnp.float32)
+                            local = idx[j] - jnp.asarray(LEVEL_BAND * lvl, cdt)
+                            b = b + ws[j] * (local == ch).astype(cdt)
                         bands.append(b)
                     dense = jnp.concatenate(bands, axis=0)
                 else:
                     ch = lax.broadcasted_iota(
-                        jnp.int32, (nch, 1), 0).astype(jnp.float32)
-                    dense = jnp.zeros((nch, chunk), jnp.float32)
+                        jnp.int32, (nch, 1), 0).astype(cdt)
+                    dense = jnp.zeros((nch, chunk), cdt)
                     for j in range(topk):
-                        dense = dense + ws[j] * (idx[j] == ch).astype(
-                            jnp.float32)
+                        dense = dense + ws[j] * (idx[j] == ch).astype(cdt)
                 f_rows = jnp.concatenate([r_row, g_row, b_row, dense], axis=0)
             else:  # quick f32: expand packed (weights, idx pairs) on-chip
                 if packed:
@@ -378,11 +398,24 @@ def _blend_kernel(
                 acc[...] += lax.dot_general(
                     w, f_rows, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                t_carry[...] *= jnp.exp(jnp.sum(
-                    jnp.where(include, lm, 0.0), axis=1, keepdims=True))
-                # Inclusive total = exclusive sum at the last lane + its lm.
-                t_test[...] *= jnp.exp(cum[:, chunk - 1:chunk]
-                                       + lm[:, chunk - 1:chunk])
+                if cellbf16:
+                    # Lane reduction of bf16 values via the MXU (f32
+                    # accumulate) — a plain jnp.sum would accumulate at
+                    # bf16 precision across 256 lanes.
+                    s_inc = lax.dot_general(
+                        jnp.where(include, lm, 0.0), ones_col,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [P, 1]
+                    t_carry[...] *= jnp.exp(s_inc)
+                    t_test[...] *= jnp.exp(
+                        cum[:, chunk - 1:chunk]
+                        + lm[:, chunk - 1:chunk].astype(jnp.float32))
+                else:
+                    t_carry[...] *= jnp.exp(jnp.sum(
+                        jnp.where(include, lm, 0.0), axis=1, keepdims=True))
+                    # Inclusive total = exclusive sum at the last lane + lm.
+                    t_test[...] *= jnp.exp(cum[:, chunk - 1:chunk]
+                                           + lm[:, chunk - 1:chunk])
             else:
                 acc[...] += lax.dot_general(
                     w, f_rows, (((1,), (1,)), ((), ())),
@@ -440,7 +473,7 @@ def _blend_kernel(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
                      "chunk", "tile_batch", "combined", "rowfmt", "banded",
-                     "interpret"),
+                     "bf16_cells", "interpret"),
 )
 def blend_tiles_pallas(
     entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] f32 field-major
@@ -460,6 +493,7 @@ def blend_tiles_pallas(
     combined: bool = False,     # entry_geom is [32, E]: geom + feat rows
     rowfmt: str = "f32",        # "f32" (parity) | "fast16" (packed serving)
     banded: bool = False,       # fast16: level-banded channel expansion
+    bf16_cells: bool = False,   # fast16: bf16 per-entry VPU cell math
     interpret: bool = False,
 ):
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
@@ -476,13 +510,14 @@ def blend_tiles_pallas(
         None, None, None, grid_x=grid_x, grid_y=grid_y, mode=mode,
         out_channels=out_channels, topk=topk, chunk=chunk,
         tile_batch=tile_batch, combined=combined, rowfmt=rowfmt,
-        banded=banded, interpret=interpret)
+        banded=banded, bf16_cells=bf16_cells, interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "out_channels", "topk",
-                     "chunk", "tile_batch", "banded", "interpret"),
+                     "chunk", "tile_batch", "banded", "bf16_cells",
+                     "interpret"),
 )
 def blend_tiles_query(
     entry_geom: jnp.ndarray,    # [16, E_pad] fast16 rows, field-major
@@ -500,6 +535,7 @@ def blend_tiles_query(
     chunk: int = 256,
     tile_batch: int = 8,
     banded: bool = True,
+    bf16_cells: bool = False,
     interpret: bool = False,
 ):
     """fast16 quick blend with the Gram relevancy query FUSED as a kernel
@@ -527,7 +563,7 @@ def blend_tiles_query(
         phi_mat, gram_mat, band, grid_x=grid_x, grid_y=grid_y, mode="quick",
         out_channels=out_channels, topk=topk, chunk=chunk,
         tile_batch=tile_batch, combined=False, rowfmt="fast16",
-        banded=banded, interpret=interpret)
+        banded=banded, bf16_cells=bf16_cells, interpret=interpret)
     return rgb, raw, nrm2, final_t
 
 
@@ -535,7 +571,7 @@ def _blend_call(
     entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
     query_phi, query_gram, query_band, *,
     grid_x, grid_y, mode, out_channels, topk, chunk, tile_batch,
-    combined, rowfmt, banded, interpret,
+    combined, rowfmt, banded, bf16_cells, interpret,
 ):
     assert not (combined and mode == "dense"), \
         "combined rows carry only 16 feature rows"
@@ -577,7 +613,7 @@ def _blend_call(
         chunk=chunk, grid_x=grid_x, num_tiles=num_tiles, mode=mode,
         acc_width=acc_width, out_width=out_width, topk=topk,
         tile_batch=tile_batch, combined=combined, rowfmt=rowfmt,
-        banded=banded, query=query,
+        banded=banded, query=query, cellbf16=bf16_cells and fast,
     )
 
     in_specs = [

@@ -73,6 +73,10 @@ class RasterizeSettings(NamedTuple):
     # reference blend) or "bf16" (fast16 packed rows: ONE w16 entry gather,
     # bf16 MXU blend — ~1e-3 relative output error, for serving/query).
     precision: str = "f32"
+    # fast16 only: run the per-entry VPU cell math (alpha chain, channel
+    # expansion) in bf16 for 2x lane packing (~1e-2 relative — still inside
+    # the fast serving contract). Ignored outside precision="bf16".
+    bf16_cells: bool = False
     # When False, the quick-mode feature map is returned in tile layout
     # [T, P, C] (T row-major tiles, P=256 pixels) instead of [C, H, W]:
     # relevancy queries contract the channel axis anyway, so skipping the
@@ -368,7 +372,8 @@ def _rasterize_pallas(
                 entry_geom, entry_feat, tile_start, tile_count, tile_ids,
                 bg, grid_x=grid_x, grid_y=grid_y, mode="quick",
                 out_channels=out_channels, topk=topk, chunk=chunk,
-                rowfmt="fast16", banded=banded, interpret=interp)
+                rowfmt="fast16", banded=banded,
+                bf16_cells=settings.bf16_cells, interpret=interp)
             return _assemble(settings, proj, rgb_t, feat_t, t_t,
                              tile_count, total)
         rows, wrows = pallas_blend.pack_quick_rows(
@@ -501,7 +506,8 @@ def rasterize_quick_query(
     rgb_t, raw_t, nrm2_t, t_t = pallas_blend.blend_tiles_query(
         entry_geom, tile_start, tile_count, tile_ids, bg, phi, gram,
         grid_x=grid_x, grid_y=grid_y, out_channels=quick_channels,
-        topk=topk, chunk=chunk, banded=banded, interpret=interp)
+        topk=topk, chunk=chunk, banded=banded,
+        bf16_cells=settings.bf16_cells, interpret=interp)
     rgb = rasterize_tiles.tiles_to_image(rgb_t, grid_x, grid_y, H, W)
     final_t = rasterize_tiles.tiles_to_image(
         t_t[..., None], grid_x, grid_y, H, W)[0]

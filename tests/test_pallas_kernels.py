@@ -290,6 +290,18 @@ class TestFastPathEndToEnd:
         reassembled = rt.tiles_to_image(tiles.feature_map, gx, gy, h, w)
         np.testing.assert_allclose(reassembled, fast.feature_map, atol=1e-6)
 
+        # bf16 cell math (2x VPU lane packing) must stay inside the
+        # documented ~1e-2-relative fast-mode envelope of the parity path.
+        cells = rasterize(
+            sp._replace(precision="bf16", bf16_cells=True),
+            jnp.asarray(means), ops, view, pm, jnp.zeros(3, jnp.float32),
+            bg, **common)
+        np.testing.assert_allclose(cells.rgb, ref.rgb, atol=4e-2)
+        np.testing.assert_allclose(cells.feature_map, ref.feature_map,
+                                   atol=4e-2)
+        np.testing.assert_allclose(cells.final_transmittance,
+                                   ref.final_transmittance, atol=4e-2)
+
     def test_fused_query_matches_unfused(self):
         """The kernel-fused Gram query (rasterize_quick_query) must match
         the XLA query computed from the unfused fast16 weight-map tiles:
@@ -348,6 +360,22 @@ class TestFastPathEndToEnd:
                                    atol=5e-3)
         np.testing.assert_allclose(rgb, unfused.rgb, atol=1e-5)
         assert int(live) == int(np.asarray(live))
+
+        # The fused query with bf16 cell math: same answer at the ~1e-2
+        # relative fast-mode envelope.
+        _, raw_c, nrm2_c, _, _, _, _ = rasterize_quick_query(
+            sp._replace(bf16_cells=True), jnp.asarray(means), ops, view, pm,
+            jnp.zeros(3, jnp.float32), bg,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), phi=phi, gram=gram,
+            quick_channels=L * K)
+        np.testing.assert_allclose(
+            np.asarray(raw_c).reshape(-1, L, PQ) / scale_r,
+            raw_ref / scale_r, atol=3e-2)
+        np.testing.assert_allclose(
+            np.asarray(nrm2_c).reshape(-1, L) / scale_n,
+            nrm2_ref / scale_n, atol=3e-2)
 
     def test_live_entries_prefix_is_output_preserving(self):
         """Sizing the gather/blend to the post-cull live total (dead
