@@ -58,9 +58,12 @@ GAUSS_MASK = (1 << 20) - 1
 
 
 def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
-                   big_buf, big_sem, spill_buf, spill_sem, *,
-                   n_gauss_cols: int, max_windows: int, n_progs: int,
-                   sentinel_tile: int, exact_cull: bool, group: int):
+                   *rest, n_gauss_cols: int, max_windows: int, n_progs: int,
+                   sentinel_tile: int, exact_cull: bool, with_alpha: int,
+                   group: int):
+    n_alpha = with_alpha * with_alpha
+    alpha_out = rest[:n_alpha]
+    big_buf, big_sem, spill_buf, spill_sem = rest[n_alpha:]
     p = pl.program_id(0)
 
     def base_for(q):
@@ -91,18 +94,19 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
     def body(g, _):
         _expand_one_chunk(
             p * group + g, g, g_start_ref, rows_hbm, tile_out, depth_out,
-            gauss_out, big_buf.at[p % 2], base, spill_buf, spill_sem,
-            n_gauss_cols=n_gauss_cols, max_windows=max_windows,
-            sentinel_tile=sentinel_tile, exact_cull=exact_cull)
+            gauss_out, alpha_out, big_buf.at[p % 2], base, spill_buf,
+            spill_sem, n_gauss_cols=n_gauss_cols, max_windows=max_windows,
+            sentinel_tile=sentinel_tile, exact_cull=exact_cull,
+            subdiv=with_alpha)
         return 0
 
     lax.fori_loop(0, group, body, 0)
 
 
 def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
-                      gauss_out, big, base, spill_buf, spill_sem, *,
-                      n_gauss_cols: int, max_windows: int,
-                      sentinel_tile: int, exact_cull: bool):
+                      gauss_out, alpha_out, big, base, spill_buf, spill_sem,
+                      *, n_gauss_cols: int, max_windows: int,
+                      sentinel_tile: int, exact_cull: bool, subdiv: int = 0):
     e0 = c * CHUNK
     gs = g_start_ref[c]
     gsf = (gs // LANE) * LANE              # 128-aligned sweep origin (>= base)
@@ -201,27 +205,30 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         cc = jnp.maximum(rows_t[12:13, :], 1e-12)
         op = rows_t[13:14, :]
 
+        def box_qmin(lx, hx, ly, hy):
+            """Min of q = ca u² + 2 cb u v + cc v² over [lx,hx]×[ly,hy]
+            (mean-relative px): interior (q=0) or a box edge, where the 1D
+            minimizer has a closed form."""
+            def q(u, v):
+                return ca * u * u + 2.0 * cb * u * v + cc * v * v
+
+            def edge_u(ufix):                        # minimize over v
+                v = jnp.clip(-cb * ufix / cc, ly, hy)
+                return q(ufix, v)
+
+            def edge_v(vfix):                        # minimize over u
+                u = jnp.clip(-cb * vfix / ca, lx, hx)
+                return q(u, vfix)
+
+            inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
+            q_min = jnp.minimum(
+                jnp.minimum(edge_u(lx), edge_u(hx)),
+                jnp.minimum(edge_v(ly), edge_v(hy)))
+            return jnp.where(inside, 0.0, q_min)
+
         lx = tile_x * float(BLOCK) - cx              # box in mean-relative px
-        hx = lx + float(BLOCK - 1)
         ly = tile_y * float(BLOCK) - cy
-        hy = ly + float(BLOCK - 1)
-
-        def q(u, v):
-            return ca * u * u + 2.0 * cb * u * v + cc * v * v
-
-        def edge_u(ufix):                            # minimize over v
-            v = jnp.clip(-cb * ufix / cc, ly, hy)
-            return q(ufix, v)
-
-        def edge_v(vfix):                            # minimize over u
-            u = jnp.clip(-cb * vfix / ca, lx, hx)
-            return q(u, vfix)
-
-        inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
-        q_min = jnp.minimum(
-            jnp.minimum(edge_u(lx), edge_u(hx)),
-            jnp.minimum(edge_v(ly), edge_v(hy)))
-        q_min = jnp.where(inside, 0.0, q_min)
+        q_min = box_qmin(lx, lx + float(BLOCK - 1), ly, ly + float(BLOCK - 1))
         # alpha_max = op * exp(-q_min/2) >= 1/255, with a conservative
         # epsilon so float-rounding never culls a borderline survivor.
         thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0) + 1e-4
@@ -230,11 +237,33 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
     tile_out[g] = jnp.where(owned, tile, float(sentinel_tile)).astype(jnp.int32)
     depth_out[g] = jnp.where(owned, depth, 0.0)
     gauss_out[g] = jnp.where(owned, gid, 0.0).astype(jnp.int32)
+    if subdiv:
+        # Per-entry transmittance-bound factors for the budget-capped
+        # binning mode: for each of the subdiv×subdiv sub-boxes of the
+        # tile, lm = log1p(-alpha_max) with alpha_max the entry's maximum
+        # possible alpha anywhere in that SUB-box (clamped to the blend's
+        # ALPHA_MAX=0.99 so the bound matches what the blend can multiply
+        # in). Finer sub-boxes tighten the bound dramatically: a splat
+        # clipping one tile corner charges only that corner's prefix, not
+        # the whole tile's (measured: subdiv 1 -> 2 cuts the budget-cull's
+        # output error ~100x).
+        assert exact_cull, "with_alpha rides the exact-cull fields"
+        side = BLOCK // subdiv
+        op_c = jnp.minimum(op, 1.0)
+        for i, ref in enumerate(alpha_out):
+            sy, sx = divmod(i, subdiv)
+            blx = lx + float(sx * side)
+            bly = ly + float(sy * side)
+            qm = box_qmin(blx, blx + float(side - 1),
+                          bly, bly + float(side - 1))
+            am = jnp.minimum(
+                op_c * jnp.exp(-0.5 * jnp.maximum(qm, 0.0)), 0.99)
+            ref[g] = jnp.where(owned, jnp.log1p(-am), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_x", "grid_y", "max_entries", "max_windows", "exact_cull",
-    "group", "interpret"))
+    "with_alpha", "group", "interpret"))
 def expand_entries_pallas(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -244,6 +273,12 @@ def expand_entries_pallas(
     opacities=None,           # [N] activated; required when exact_cull
     max_windows: int | None = None,
     exact_cull: bool = False,
+    with_alpha: int = 0,       # > 0: also emit, per entry, the
+                               # transmittance-bound factors
+                               # lm = log1p(-alpha_max) over each of the
+                               # with_alpha × with_alpha sub-boxes of its
+                               # tile (requires exact_cull) — the budget-
+                               # capped binning's bound
     group: int = 16,          # chunks per grid program (overhead amortizer)
     interpret: bool = False,
 ):
@@ -251,7 +286,8 @@ def expand_entries_pallas(
 
     Returns (tile [max_entries] i32 — sentinel grid_x*grid_y for dead
     entries, depth [max_entries] f32, gauss [max_entries] i32,
-    total [] i32).
+    total [] i32[, *lms: with_alpha² arrays [max_entries] f32, sub-box
+    row-major]).
     """
     n = proj.tiles_touched.shape[0]
     assert n <= GAUSS_MASK + 1, "gauss id must fit in 20 bits"
@@ -307,19 +343,25 @@ def expand_entries_pallas(
     pad_cols = pad_cols.at[3, :].set(3.0e38)
     rows = jnp.concatenate([rows, pad_cols], axis=1)
 
+    if with_alpha:
+        assert exact_cull, "with_alpha requires exact_cull"
+        assert BLOCK % with_alpha == 0
     kernel = functools.partial(
         _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
         n_progs=n_progs, sentinel_tile=grid_x * grid_y,
-        exact_cull=exact_cull, group=group)
+        exact_cull=exact_cull, with_alpha=with_alpha, group=group)
 
+    n_outs = 3 + with_alpha * with_alpha
+    out_dtypes = ([jnp.int32, jnp.float32, jnp.int32]
+                  + [jnp.float32] * (with_alpha * with_alpha))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, CHUNK), lambda p, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_outs)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ROW_W, WBUF), jnp.float32),
@@ -329,22 +371,26 @@ def expand_entries_pallas(
         ],
     )
 
-    tile, depth, gauss = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.int32),
-            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((n_chunks, 1, CHUNK), dt)
+            for dt in out_dtypes
         ],
         interpret=interpret,
     )(g_start, rows)
+    tile, depth, gauss = outs[:3]
 
     entry_ids = jnp.arange(max_entries, dtype=jnp.int32)
     tile = tile.reshape(-1)[:max_entries]
     tile = jnp.where(entry_ids < total, tile, grid_x * grid_y)
-    return (tile, depth.reshape(-1)[:max_entries],
-            gauss.reshape(-1)[:max_entries], total)
+    result = (tile, depth.reshape(-1)[:max_entries],
+              gauss.reshape(-1)[:max_entries], total)
+    for o in outs[3:]:
+        result = result + (jnp.where(
+            entry_ids < total, o.reshape(-1)[:max_entries], 0.0),)
+    return result
 
 
 def pack_sort_keys(tile, depth, gauss, num_tiles: int):
@@ -405,7 +451,7 @@ def _vectorized_searchsorted_left(sorted_vals: jnp.ndarray, queries: jnp.ndarray
 
 
 def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None,
-                             with_perm: bool = False):
+                             with_perm: bool = False, extra=()):
     """Sort packed keys (the pack_sort_keys tuple); derive
     (gauss_sorted, tile_start, tile_count, tile_sorted).
 
@@ -413,28 +459,35 @@ def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None,
     pre-sort = EXPANSION slot) as a 5th output — one extra u32 sort operand
     (~0.6 ms/M entries). The training backwards use it to return per-entry
     gradients to gaussian-major expansion order with a sort instead of a
-    scatter (see pallas_train._quick_vjp_bwd)."""
+    scatter (see pallas_train._quick_vjp_bwd).
+
+    `extra` is a tuple of additional u32 payload operands to carry through
+    the sort (~3 ms/operand at 5M entries); their sorted versions are
+    appended (as a tuple) after the other outputs."""
     if _legacy_num_tiles is not None:        # (hi, lo, num_tiles) call form
         keys, num_tiles = (keys, num_tiles), _legacy_num_tiles
     perm = None
+    n_payload = len(extra)
     if len(keys) == 2:
         if with_perm:
             iota = jnp.arange(keys[0].shape[0], dtype=jnp.uint32)
             # Keys are unique for live entries (gauss id rides lo), so
             # the perm-carrying sort stays deterministic without stability.
-            hi_sorted, lo_sorted, perm = lax.sort(
-                (*keys, iota), num_keys=2, is_stable=False)
+            hi_sorted, lo_sorted, perm, *extra_sorted = lax.sort(
+                (*keys, iota, *extra), num_keys=2, is_stable=False)
         else:
-            hi_sorted, lo_sorted = lax.sort(keys, num_keys=2, is_stable=False)
+            hi_sorted, lo_sorted, *extra_sorted = lax.sort(
+                (*keys, *extra), num_keys=2, is_stable=False)
         gauss_sorted = (lo_sorted & jnp.uint32(GAUSS_MASK)).astype(jnp.int32)
         tile_sorted = (hi_sorted >> 19).astype(jnp.int32)
     else:
         if with_perm:
             iota = jnp.arange(keys[0].shape[0], dtype=jnp.uint32)
-            k0, _k1, k2, perm = lax.sort(
-                (*keys, iota), num_keys=3, is_stable=False)
+            k0, _k1, k2, perm, *extra_sorted = lax.sort(
+                (*keys, iota, *extra), num_keys=3, is_stable=False)
         else:
-            k0, _k1, k2 = lax.sort(keys, num_keys=3, is_stable=False)
+            k0, _k1, k2, *extra_sorted = lax.sort(
+                (*keys, *extra), num_keys=3, is_stable=False)
         gauss_sorted = k2.astype(jnp.int32)
         tile_sorted = k0.astype(jnp.int32)
     n_bits = max(1, int(np.ceil(np.log2(tile_sorted.shape[0] + 1))) + 1)
@@ -442,6 +495,88 @@ def sorted_binning_from_keys(keys, num_tiles: int, _legacy_num_tiles=None,
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), n_bits)
     tile_start = bounds[:num_tiles].astype(jnp.int32)
     tile_count = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    out = (gauss_sorted, tile_start, tile_count, tile_sorted)
     if with_perm:
-        return gauss_sorted, tile_start, tile_count, tile_sorted, perm
-    return gauss_sorted, tile_start, tile_count, tile_sorted
+        out = out + (perm,)
+    if n_payload:
+        out = out + (tuple(extra_sorted),)
+    return out
+
+
+# u8 quantization step for the budget-cull's lm payload: lm is clamped to
+# [log1p(-0.99), 0] ≈ [-4.7, 0] by the alpha clamp, and rounding toward 0
+# only LOOSENS the bound (keeps more entries), preserving soundness w.r.t.
+# the unquantized bound.
+LM_QSTEP = 4.7 / 255.0
+
+
+def pack_lm_words(lms):
+    """Quantize per-sub-box lm arrays ([E] f32, <= 0) to u8 (rounded toward
+    0) and pack 4 per u32 sort-payload word."""
+    words = []
+    for i in range(0, len(lms), 4):
+        wrd = jnp.zeros(lms[0].shape, jnp.uint32)
+        for k, lm in enumerate(lms[i:i + 4]):
+            n = jnp.minimum(jnp.floor(-lm * (1.0 / LM_QSTEP)), 255.0)
+            wrd = wrd | (n.astype(jnp.uint32) << (8 * k))
+        words.append(wrd)
+    return tuple(words)
+
+
+def unpack_lm_words(words, n_box: int):
+    """Inverse of pack_lm_words: [E] u32 words -> [E, n_box] f32 lm."""
+    lms = []
+    for i, wrd in enumerate(words):
+        for k in range(min(4, n_box - 4 * i)):
+            n = ((wrd >> (8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+            lms.append(-n * LM_QSTEP)
+    return jnp.stack(lms, axis=1)
+
+
+def budget_counts(lm_sorted, tile_start, tile_count, t_budget: float):
+    """Per-tile kept-counts under a transmittance-bound budget.
+
+    lm_sorted [E] or [E, Q] f32: log1p(-alpha_max) per SORTED entry (<= 0;
+    alpha_max is the entry's maximum possible alpha anywhere in its tile —
+    or in each of Q sub-boxes of it — from the exact cull's box
+    minimization). Entry j of tile t (depth order) is kept iff SOME
+    sub-box's bound T_q(j) = prod_{m<j} (1 - alpha_max_m,q) >= t_budget.
+    Because alpha(pixel) <= alpha_max(sub-box containing pixel), every
+    pixel's true transmittance is >= its sub-box bound: the cull only
+    drops entries once the bound says every pixel is saturated — an
+    APPROXIMATION whose looseness shrinks with the sub-box size (measured:
+    Q=4 cuts the output error ~100x vs Q=1), which is why this rides the
+    opt-in settings.tile_budget mode, not the default path.
+
+    Returns kept [T] int32, kept <= tile_count. Cost: Q [E] cumsums + a
+    per-tile vectorized binary search (~1 ms each at bench scale).
+    """
+    if lm_sorted.ndim == 1:
+        lm_sorted = lm_sorted[:, None]
+    e = lm_sorted.shape[0]
+    s = jnp.cumsum(lm_sorted, axis=0)               # [E, Q] inclusive
+    logb = float(np.log(t_budget))
+    # base = s[start-1] (0 for start == 0): [T, Q]-sized gather, cheap.
+    base = jnp.where(
+        (tile_start > 0)[:, None], s[jnp.maximum(tile_start - 1, 0)], 0.0)
+    target = base + logb
+    # Entry j>=1 kept iff any_q s[start+j-1, q] >= target_q; each s[:, q]
+    # is non-increasing on the segment, so the OR is too and kept = first
+    # crossing + 1. Binary search per tile, vectorized ([T, Q] gathers
+    # per step).
+    lo = tile_start
+    hi = tile_start + jnp.maximum(tile_count - 1, 0)
+
+    def step(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        v = s[jnp.minimum(mid, e - 1)]
+        go_right = jnp.any(v >= target, axis=1)
+        return (jnp.where(go_right, mid + 1, lo),
+                jnp.where(go_right, hi, mid))
+
+    n_bits = max(1, int(np.ceil(np.log2(e + 1))) + 1)
+    lo, hi = lax.fori_loop(0, n_bits, step, (lo, hi))
+    kept = lo - tile_start + 1
+    return jnp.where(tile_count > 0, jnp.minimum(kept, tile_count), 0
+                     ).astype(jnp.int32)

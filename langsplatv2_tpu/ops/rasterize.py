@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import binning, projection, rasterize_tiles
 from .projection import BLOCK
@@ -94,6 +95,29 @@ class RasterizeSettings(NamedTuple):
     # binning="gauss": per-(src,dst) exchange capacity (0 = auto from
     # max_entries); overflow reported as dropped_entries.
     pair_capacity: int = 0
+    # OPT-IN approximate serving mode (> 0 enables): per tile, keep only
+    # the depth-prefix of entries whose transmittance BOUND
+    # prod(1 - alpha_max) stays >= tile_budget (alpha_max = the entry's
+    # max possible alpha anywhere in the tile, from the exact cull).
+    # Because alpha(pixel) <= alpha_max the bound saturates no later than
+    # any pixel -> it drops only entries the bound says are invisible,
+    # but the bound can be loose (corner-hugging splats), so outputs are
+    # approximate: error scale ~ tile_budget. The win: the sorted-row
+    # gather and the blend become REGULAR [T, tile_budget_cap] fetches —
+    # row count per frame drops from the live total (~4M at bench scale)
+    # to T*cap (~1M), the measured-dominant frame cost. fast16 quick
+    # paths only.
+    tile_budget: float = 0.0
+    # Fixed per-tile entry capacity of the budget-capped layout (128-lane
+    # granularity; tiles whose budget prefix exceeds it are clamped —
+    # telemetry via live_total vs sum of pre-clamp counts).
+    tile_budget_cap: int = 128
+    # Sub-boxes per tile axis for the budget bound (1, 2, or 4). Each
+    # 4 sub-boxes cost one extra u32 sort-payload word (~3 ms at 5M
+    # entries); finer boxes tighten the bound enormously (measured output
+    # error on an opaque scene at budget 1e-8: subdiv 1 ~ 5e-1 max,
+    # subdiv 2 ~ 9e-2, subdiv 4 ~ 1e-2).
+    tile_budget_subdiv: int = 2
 
     @property
     def grid_x(self) -> int:
@@ -351,8 +375,16 @@ def _rasterize_pallas(
         return _assemble(settings, proj, rgb_t, feat_t, t_t,
                          tile_count, total)
 
-    g_sorted, tile_start, tile_count, total, live_total = _sorted_quick_binning(
-        settings, proj, opacities, interp)
+    capped = (settings.tile_budget > 0.0 and quick_weights is not None
+              and settings.precision == "bf16")
+    if capped:
+        g_sorted, tile_count, total, live_total = _capped_quick_binning(
+            settings, proj, opacities, interp)
+        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * \
+            settings.tile_budget_cap
+    else:
+        g_sorted, tile_start, tile_count, total, live_total = \
+            _sorted_quick_binning(settings, proj, opacities, interp)
 
     if quick_weights is not None:
         mode, out_channels = "quick", quick_channels
@@ -375,7 +407,7 @@ def _rasterize_pallas(
                 rowfmt="fast16", banded=banded,
                 bf16_cells=settings.bf16_cells, interpret=interp)
             return _assemble(settings, proj, rgb_t, feat_t, t_t,
-                             tile_count, total)
+                             tile_count, total, live_total)
         rows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, opacities[:, 0], proj.rgb,
             quick_weights, quick_indices)
@@ -430,6 +462,49 @@ def _sorted_quick_binning(settings, proj, opacities, interp):
         tile_count = jnp.clip(
             jnp.minimum(tile_count, live - tile_start), 0, None)
     return g_sorted, tile_start, tile_count, total, live_total
+
+
+def _capped_quick_binning(settings, proj, opacities, interp):
+    """Binning for the OPT-IN settings.tile_budget mode: expansion also
+    emits each entry's transmittance-bound factor lm = log1p(-alpha_max),
+    which rides the key sort as one payload operand; a per-tile budget
+    prefix (pallas_binning.budget_counts) then clamps every tile to the
+    entries its bound says are visible, and the sorted gauss ids are
+    fetched with a REGULAR vmapped dynamic_slice into a dense
+    [T, tile_budget_cap] layout — so the downstream w16 row gather costs
+    T*cap rows (~1M at bench scale) instead of the live total (~4M), and
+    every blend segment starts 128-aligned at t*cap.
+
+    Approximate by design (error scale ~ tile_budget; see the settings
+    docstring). Returns (g2 [T*cap], kept [T], total, live_kept) where
+    live_kept = sum(kept) — the telemetry mirror of live_total."""
+    from . import pallas_binning
+
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    cap = settings.tile_budget_cap
+    assert cap % 128 == 0, "tile_budget_cap must be 128-lane aligned"
+    subdiv = settings.tile_budget_subdiv
+    n_box = subdiv * subdiv
+    tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
+        proj, grid_x, grid_y, settings.max_entries,
+        opacities=opacities[:, 0], exact_cull=True, with_alpha=subdiv,
+        interpret=interp)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+    words = pallas_binning.pack_lm_words(lms)
+    g_sorted, tile_start, tile_count, _tile_sorted, words_s = \
+        pallas_binning.sorted_binning_from_keys(
+            keys, num_tiles, extra=words)
+    lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
+    kept = pallas_binning.budget_counts(
+        lm_sorted, tile_start, tile_count, settings.tile_budget)
+    kept = jnp.minimum(jnp.minimum(kept, cap), settings.tile_cap)
+    # Pad so no slice is start-clamped (XLA dynamic_slice clamps starts,
+    # which would silently shift a tail tile's window off its segment).
+    g_pad = jnp.pad(g_sorted, (0, cap))
+    g2 = jax.vmap(
+        lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(tile_start)
+    return g2.reshape(-1), kept, total, jnp.sum(kept)
 
 
 def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total,
@@ -492,13 +567,19 @@ def rasterize_quick_query(
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0])
 
-    g_sorted, tile_start, tile_count, total, live_total = \
-        _sorted_quick_binning(settings, proj, opacities, interp)
+    if settings.tile_budget > 0.0:
+        g_used, tile_count, total, live_total = _capped_quick_binning(
+            settings, proj, opacities, interp)
+        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * \
+            settings.tile_budget_cap
+    else:
+        g_used, tile_start, tile_count, total, live_total = \
+            _sorted_quick_binning(settings, proj, opacities, interp)
 
     rows = pallas_blend.pack_fast16_rows(
         proj.xy, proj.conic, opacities[:, 0], proj.rgb,
         quick_weights, quick_indices)
-    entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+    entry_geom = pallas_blend.to_field_major(rows[g_used], chunk)
     topk = quick_weights.shape[1]
     banded = (quick_channels % 64 == 0
               and topk % (quick_channels // 64) == 0)

@@ -420,6 +420,125 @@ class TestFastPathEndToEnd:
         assert int(clamped.live_total) == n_live > 128
 
 
+class TestBudgetCappedBinning:
+    def test_budget_counts_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        t_counts = np.array([0, 1, 5, 40, 3], np.int32)
+        starts = np.concatenate([[0], np.cumsum(t_counts)[:-1]]).astype(
+            np.int32)
+        e = int(t_counts.sum()) + 7                   # trailing dead pad
+        alpha = rng.uniform(0.05, 0.9, e).astype(np.float32)
+        lm = np.log1p(-alpha)
+        lm[t_counts.sum():] = 0.0
+        budget = 1e-2
+        kept = pallas_binning.budget_counts(
+            jnp.asarray(lm), jnp.asarray(starts), jnp.asarray(t_counts),
+            budget)
+        logb = np.log(budget)
+        for t in range(len(t_counts)):
+            want = 0
+            p = 0.0
+            for j in range(t_counts[t]):
+                if p < logb:
+                    break
+                want += 1
+                p += lm[starts[t] + j]
+            assert int(kept[t]) == want, (t, int(kept[t]), want)
+
+    def _quick_scene(self, seed=4):
+        n, h, w = 800, 80, 112
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w, seed=seed)
+        rng = np.random.default_rng(seed)
+        L, K, TOPK = 3, 64, 4
+        qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [rng.integers(0, K, (n, TOPK)) + l * K for l in range(L)], 1
+        ).astype(np.float32)
+        bg = jnp.asarray([0.2, 0.1, 0.4], jnp.float32)
+        common = dict(
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            colors_precomp=cols, quick_weights=jnp.asarray(qw),
+            quick_indices=jnp.asarray(qi), quick_channels=L * K)
+        sp = RasterizeSettings(
+            image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="pallas", binning="sort",
+            precision="bf16")
+        args = (jnp.asarray(means), ops, view, pm,
+                jnp.zeros(3, jnp.float32), bg)
+        return sp, args, common
+
+    def test_tiny_budget_is_output_preserving(self):
+        """With a budget below any reachable bound (scene alphas <= 0.95,
+        so per-sub-box prefixes stay above log(1e-300)) and a cap above
+        the max tile depth, the capped layout must reproduce the standard
+        fast16 path (same entries per tile, aligned instead of ragged)."""
+        sp, args, common = self._quick_scene()
+        full = rasterize(sp, *args, **common)
+        assert int(full.max_tile_count) <= 256
+        capped = rasterize(
+            sp._replace(tile_budget=1e-300, tile_budget_cap=256),
+            *args, **common)
+        np.testing.assert_allclose(capped.rgb, full.rgb, atol=1e-5)
+        np.testing.assert_allclose(capped.feature_map, full.feature_map,
+                                   atol=1e-5)
+        np.testing.assert_allclose(capped.final_transmittance,
+                                   full.final_transmittance, atol=1e-5)
+        assert int(capped.live_total) == int(full.live_total)
+
+    def test_aggressive_budget_drops_and_stays_close(self):
+        """A serving-grade budget must actually cut entries while keeping
+        the output within the (sub-box-bound) error scale."""
+        sp, args, common = self._quick_scene()
+        full = rasterize(sp, *args, **common)
+        capped = rasterize(
+            sp._replace(tile_budget=1e-6, tile_budget_cap=128),
+            *args, **common)
+        assert int(capped.live_total) < int(full.live_total)
+        assert np.isfinite(np.asarray(capped.rgb)).all()
+        d = np.abs(np.asarray(capped.rgb) - np.asarray(full.rgb))
+        assert d.max() < 2e-1 and d.mean() < 5e-3, (d.max(), d.mean())
+        df = np.abs(np.asarray(capped.feature_map)
+                    - np.asarray(full.feature_map))
+        assert df.max() < 2e-1 and df.mean() < 5e-3, (df.max(), df.mean())
+
+        # Finer sub-boxes must tighten the bound: subdiv=4 keeps more
+        # entries and lands closer to the exact output.
+        fine = rasterize(
+            sp._replace(tile_budget=1e-6, tile_budget_cap=128,
+                        tile_budget_subdiv=4),
+            *args, **common)
+        d4 = np.abs(np.asarray(fine.rgb) - np.asarray(full.rgb))
+        assert int(fine.live_total) >= int(capped.live_total)
+        assert d4.max() <= d.max() + 1e-6
+
+    def test_fused_query_capped(self):
+        """rasterize_quick_query honors tile_budget: tiny budget + big cap
+        reproduces its own standard output."""
+        from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
+        sp, args, common = self._quick_scene()
+        rng = np.random.default_rng(5)
+        L, K, PQ = 3, 64, 5
+        cb = rng.normal(size=(L, K, 32)).astype(np.float32)
+        phrases = rng.normal(size=(PQ, 32)).astype(np.float32)
+        phi = jnp.einsum("lkd,pd->lkp", jnp.asarray(cb), jnp.asarray(phrases))
+        gram = jnp.einsum("lkd,lmd->lkm", jnp.asarray(cb), jnp.asarray(cb))
+        sp = sp._replace(assemble=False)
+        kw = dict(common)
+        kw.pop("quick_channels")
+        ref = rasterize_quick_query(sp, *args, **kw, phi=phi, gram=gram,
+                                    quick_channels=192)
+        cap = rasterize_quick_query(
+            sp._replace(tile_budget=1e-300, tile_budget_cap=256),
+            *args, **kw, phi=phi, gram=gram, quick_channels=192)
+        np.testing.assert_allclose(cap[0], ref[0], atol=1e-5)   # rgb
+        np.testing.assert_allclose(cap[1], ref[1], atol=1e-4)   # raw
+        np.testing.assert_allclose(cap[2], ref[2], atol=1e-4)   # nrm2
+
+
 class TestDenseCustomVJP:
     def test_feature_grads_match_xla_autodiff(self):
         n, h, w = 300, 48, 64
