@@ -538,6 +538,41 @@ class TestBudgetCappedBinning:
         np.testing.assert_allclose(cap[1], ref[1], atol=1e-4)   # raw
         np.testing.assert_allclose(cap[2], ref[2], atol=1e-4)   # nrm2
 
+    def test_capped_relevancy_iou(self):
+        """Eval-metric validation of the approximate mode: the relevancy
+        masks (cosine sim thresholded the way the LERF eval does) from a
+        serving-grade budget must overlap the exact masks at IoU >= 0.95."""
+        from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
+        sp, args, common = self._quick_scene()
+        rng = np.random.default_rng(6)
+        L, K, PQ = 3, 64, 2
+        cb = rng.normal(size=(L, K, 32)).astype(np.float32)
+        phrases = rng.normal(size=(PQ, 32)).astype(np.float32)
+        phrases /= np.linalg.norm(phrases, axis=1, keepdims=True)
+        phi = jnp.einsum("lkd,pd->lkp", jnp.asarray(cb), jnp.asarray(phrases))
+        gram = jnp.einsum("lkd,lmd->lkm", jnp.asarray(cb), jnp.asarray(cb))
+        sp = sp._replace(assemble=False)
+        kw = dict(common)
+        kw.pop("quick_channels")
+
+        def masks(settings):
+            _, raw_t, nrm2_t, _, _, _, _ = rasterize_quick_query(
+                settings, *args, **kw, phi=phi, gram=gram,
+                quick_channels=192)
+            raw = np.asarray(raw_t).reshape(-1, L, PQ)
+            nrm = np.sqrt(np.maximum(np.asarray(nrm2_t).reshape(-1, L), 0))
+            sim = raw / (nrm[..., None] + 1e-10)
+            return sim > 0.18                       # mid-scale threshold
+
+        m_ref = masks(sp)
+        m_cap = masks(sp._replace(tile_budget=1e-6, tile_budget_cap=128))
+        inter = np.logical_and(m_ref, m_cap).sum()
+        union = np.logical_or(m_ref, m_cap).sum()
+        assert union > 0                            # threshold actually cuts
+        iou = inter / union
+        assert iou >= 0.95, iou
+
 
 class TestDenseCustomVJP:
     def test_feature_grads_match_xla_autodiff(self):
