@@ -128,7 +128,12 @@ def main():
         image_height=H, image_width=W,
         tanfovx=math.tan(fovx / 2), tanfovy=math.tan(fovy / 2),
         sh_degree=0, max_entries=5_300_000, impl="pallas",
-        binning="sort", precision="bf16", assemble=False)
+        binning="sort", precision="bf16", assemble=False,
+        # A/B knob for the bf16 VPU cell math (see profile_vpu_bf16.py);
+        # flips the whole bench, including the headline scan.
+        bf16_cells=bool(int(os.environ.get("LSV2_BF16_CELLS", "0"))))
+    if settings0.bf16_cells:
+        log("bf16 VPU cell math ENABLED (LSV2_BF16_CELLS=1)")
 
     scene_args = (means_d, op_d, sc_d, rot_d, col_d, qw_d, qi_d,
                   phi_d, gram_d)

@@ -12,8 +12,7 @@
 #                           live-prefix changes in one number)
 #   2. profile_vpu_bf16   — does Mosaic pack bf16 VPU lanes 2x? decides
 #                           whether settings.bf16_cells becomes default
-#   3. bench A/B bf16_cells (LSV2_BF16_CELLS=1 once wired; until then the
-#                           frame-stage profile covers it)
+#   3. bench A/B bf16_cells (LSV2_BF16_CELLS=1)
 #   4. profile_frame_stages — per-stage scan-prefix attribution
 #   5. profile_train / profile_train_stages — feature-phase it/s after the
 #                           live-prefix clamp + weights rewrite
@@ -35,6 +34,7 @@ run() {
 
 run bench            2400 python bench.py
 run vpu_bf16          900 python scripts/profile_vpu_bf16.py
+run bench_bf16cells 2400 env LSV2_BF16_CELLS=1 python bench.py
 run frame_stages     1800 python scripts/profile_frame_stages.py
 run train             1800 python scripts/profile_train.py
 run train_stages     1800 python scripts/profile_train_stages.py
