@@ -85,6 +85,43 @@ def main():
     timeit("2 x w16 half-rows", g16x2_half, rows, idx)
     timeit("u32 x 8 bf16-packed", gu32x8, rows_u32p, idx)
 
+    # Budget-capped mode primitives (ops/rasterize._capped_quick_binning):
+    # (a) ragged slice-gather of the sorted id stream — 8160 tiles x one
+    #     contiguous cap-wide u32 slice via vmapped dynamic_slice. If this
+    #     runs at block rate (~MBs, <1ms) the capped layout's overhead is
+    #     negligible; if XLA lowers it per-element it's ~1M-element cost.
+    # (b) the [T*cap] w16 row gather that replaces the [live] one.
+    t_tiles, cap = 8160, 256
+    g_sorted = jnp.asarray(rng.integers(0, n, (e,)).astype(np.int32))
+    t_starts = jnp.sort(jnp.asarray(
+        rng.integers(0, e - cap, (t_tiles,)).astype(np.int32)))
+
+    def slice_gather(g_sorted, starts):
+        return jax.vmap(
+            lambda st: lax.dynamic_slice(g_sorted, (st,), (cap,)))(starts)
+
+    @jax.jit
+    def scanned_slices(g_sorted, starts):
+        def body(c, i):
+            s = starts.at[0].set(i % (e - cap))
+            out = slice_gather(g_sorted, s)
+            return c + jnp.sum(out).astype(jnp.float32), 0.0
+        c, _ = lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.int32))
+        return c
+
+    t0 = time.time()
+    _ = float(scanned_slices(g_sorted, t_starts))
+    ct = time.time() - t0
+    t0 = time.time()
+    _ = float(scanned_slices(g_sorted, t_starts))
+    dt = (time.time() - t0) / K * 1000
+    log(f"{'slice-gather 8160 x cap256':28s} compile {ct:5.1f}s  "
+        f"{dt:8.1f} ms")
+
+    idx_capped = jnp.asarray(
+        rng.integers(0, n, (t_tiles * cap,)).astype(np.int32))
+    timeit("w16 capped (T*cap rows)", g16, rows, idx_capped)
+
 
 if __name__ == "__main__":
     main()
