@@ -42,12 +42,22 @@ class BackendRenderer:
                  background=(0.0, 0.0, 0.0),
                  clip_model: OpenCLIPNetwork | None = None,
                  znear: float = 0.01, zfar: float = 100.0,
-                 max_entries: int = 2 ** 21, tile_cap: int = 1024):
+                 max_entries: int = 2 ** 21, tile_cap: int = 1024,
+                 bf16_cells: bool = False,
+                 tile_budget: float = 0.0, tile_budget_cap: int = 256,
+                 tile_budget_subdiv: int = 2):
         self.model = model
         self.background = np.asarray(background, np.float32)
         self.clip_model = clip_model or OpenCLIPNetwork()
         self.znear, self.zfar = znear, zfar
         self.max_entries, self.tile_cap = max_entries, tile_cap
+        # Optional approximations beyond fast16 (see RasterizeSettings):
+        # bf16 VPU cell math, and the budget-capped binning that bounds
+        # per-tile work for interactive streams.
+        self.bf16_cells = bf16_cells
+        self.tile_budget = tile_budget
+        self.tile_budget_cap = tile_budget_cap
+        self.tile_budget_subdiv = tile_budget_subdiv
         self.current_prompt = ""
         self.zmq_port = zmq_port
         self._settings_cache: dict[tuple, RasterizeSettings] = {}
@@ -73,7 +83,11 @@ class BackendRenderer:
                 tanfovx=math.tan(fov_x / 2), tanfovy=math.tan(fov_y / 2),
                 sh_degree=self.model.active_sh_degree,
                 max_entries=self.max_entries, tile_cap=self.tile_cap,
-                tile_batch=32, precision="bf16")
+                tile_batch=32, precision="bf16",
+                bf16_cells=self.bf16_cells,
+                tile_budget=self.tile_budget,
+                tile_budget_cap=self.tile_budget_cap,
+                tile_budget_subdiv=self.tile_budget_subdiv)
         return self._settings_cache[key], view, full, campos
 
     def render_request(self, request: dict) -> np.ndarray:

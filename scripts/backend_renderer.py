@@ -20,6 +20,15 @@ def main():
     parser.add_argument("--white_background", action="store_true")
     parser.add_argument("--clip_backend", type=str, default="auto")
     parser.add_argument("--topk", type=int, default=4)
+    parser.add_argument("--bf16_cells", action="store_true",
+                        help="bf16 VPU cell math in the fast16 blend "
+                             "(~1e-2 relative, 2x VPU lane packing)")
+    parser.add_argument("--tile_budget", type=float, default=0.0,
+                        help="> 0: budget-capped binning — per-tile work "
+                             "bounded by a transmittance budget "
+                             "(approximate; see RasterizeSettings)")
+    parser.add_argument("--tile_budget_cap", type=int, default=256)
+    parser.add_argument("--tile_budget_subdiv", type=int, default=2)
     args = parser.parse_args()
 
     from langsplatv2_tpu.eval.lerf import merge_level_models
@@ -37,7 +46,10 @@ def main():
     bg = (1.0, 1.0, 1.0) if args.white_background else (0.0, 0.0, 0.0)
     server = BackendRenderer(
         merged, zmq_port=args.zmq_port, background=bg,
-        clip_model=OpenCLIPNetwork(backend=args.clip_backend))
+        clip_model=OpenCLIPNetwork(backend=args.clip_backend),
+        bf16_cells=args.bf16_cells, tile_budget=args.tile_budget,
+        tile_budget_cap=args.tile_budget_cap,
+        tile_budget_subdiv=args.tile_budget_subdiv)
     server.run()
 
 

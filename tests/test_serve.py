@@ -41,6 +41,24 @@ class TestBackend:
         assert img.shape == (64, 96, 3)
         assert np.isfinite(img).all() and img.max() <= 1.0
 
+    def test_approx_serving_modes(self, merged_model):
+        """bf16 cell math + budget-capped binning through the server path:
+        same heatmap within the approximation envelope."""
+        import math as _m
+        req = {"c2w": np.eye(4).tolist(), "width": 96, "height": 64,
+               "fov_y": _m.radians(60), "prompt": "red car",
+               "show_heatmap": True, "threshold": -10.0}
+        ref = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256).render_request(req)
+        fast = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256, bf16_cells=True,
+            tile_budget=1e-6, tile_budget_cap=128).render_request(req)
+        assert fast.shape == ref.shape and np.isfinite(fast).all()
+        d = np.abs(ref - fast)
+        assert d.mean() < 2e-2 and d.max() < 2e-1, (d.mean(), d.max())
+
     def test_heatmap_request_matches_decode(self, merged_model):
         backend = BackendRenderer(
             merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
