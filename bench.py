@@ -323,8 +323,10 @@ def main():
     try:
         tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-8"))
         tcap = int(os.environ.get("LSV2_TILE_CAP", "256"))
+        tsub = int(os.environ.get("LSV2_TILE_SUBDIV", "2"))
         frame_capped = make_frame(settings._replace(
-            tile_budget=tb, tile_budget_cap=tcap))
+            tile_budget=tb, tile_budget_cap=tcap,
+            tile_budget_subdiv=tsub))
 
         @jax.jit
         def frames_scan_capped(view, proj, eps, *scene):
