@@ -109,8 +109,10 @@ class RasterizeSettings(NamedTuple):
     # paths only.
     tile_budget: float = 0.0
     # Fixed per-tile entry capacity of the budget-capped layout (128-lane
-    # granularity; tiles whose budget prefix exceeds it are clamped —
-    # telemetry via live_total vs sum of pre-clamp counts).
+    # granularity). Tiles whose budget prefix exceeds it are clamped;
+    # telemetry: RasterizeOutput.max_tile_count carries the PRE-clamp
+    # per-tile maximum (> cap reveals saturation) and live_total the
+    # pre-clamp budget-visible entry total.
     tile_budget_cap: int = 128
     # Sub-boxes per tile axis for the budget bound (1, 2, or 4). Each
     # 4 sub-boxes cost one extra u32 sort-payload word (~3 ms at 5M
@@ -378,13 +380,14 @@ def _rasterize_pallas(
     capped = (settings.tile_budget > 0.0 and quick_weights is not None
               and settings.precision == "bf16")
     if capped:
-        g_sorted, tile_count, total, live_total = _capped_quick_binning(
+        (g_sorted, tile_start, tile_count, kept_full, total,
+         live_total) = _capped_quick_binning(
             settings, proj, opacities, interp)
-        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * \
-            settings.tile_budget_cap
+        telemetry_counts = kept_full
     else:
         g_sorted, tile_start, tile_count, total, live_total = \
             _sorted_quick_binning(settings, proj, opacities, interp)
+        telemetry_counts = tile_count
 
     if quick_weights is not None:
         mode, out_channels = "quick", quick_channels
@@ -407,7 +410,7 @@ def _rasterize_pallas(
                 rowfmt="fast16", banded=banded,
                 bf16_cells=settings.bf16_cells, interpret=interp)
             return _assemble(settings, proj, rgb_t, feat_t, t_t,
-                             tile_count, total, live_total)
+                             telemetry_counts, total, live_total)
         rows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, opacities[:, 0], proj.rgb,
             quick_weights, quick_indices)
@@ -476,8 +479,12 @@ def _capped_quick_binning(settings, proj, opacities, interp):
     every blend segment starts 128-aligned at t*cap.
 
     Approximate by design (error scale ~ tile_budget; see the settings
-    docstring). Returns (g2 [T*cap], kept [T], total, live_kept) where
-    live_kept = sum(kept) — the telemetry mirror of live_total."""
+    docstring). Returns (g2 [T*cap], tile_start [T] = t*cap, kept [T]
+    post-clamp counts for the blend, kept_full [T] PRE-clamp budget
+    counts (telemetry: max goes to RasterizeOutput.max_tile_count, so
+    kept_full.max() > cap reveals cap saturation), total, live) where
+    live = sum(kept_full) — the budget-visible entry total before the
+    cap clamp."""
     from . import pallas_binning
 
     grid_x, grid_y = settings.grid_x, settings.grid_y
@@ -496,15 +503,17 @@ def _capped_quick_binning(settings, proj, opacities, interp):
         pallas_binning.sorted_binning_from_keys(
             keys, num_tiles, extra=words)
     lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
-    kept = pallas_binning.budget_counts(
+    kept_full = pallas_binning.budget_counts(
         lm_sorted, tile_start, tile_count, settings.tile_budget)
-    kept = jnp.minimum(jnp.minimum(kept, cap), settings.tile_cap)
+    kept = jnp.minimum(jnp.minimum(kept_full, cap), settings.tile_cap)
     # Pad so no slice is start-clamped (XLA dynamic_slice clamps starts,
     # which would silently shift a tail tile's window off its segment).
     g_pad = jnp.pad(g_sorted, (0, cap))
     g2 = jax.vmap(
         lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(tile_start)
-    return g2.reshape(-1), kept, total, jnp.sum(kept)
+    dense_start = jnp.arange(num_tiles, dtype=jnp.int32) * cap
+    return (g2.reshape(-1), dense_start, kept, kept_full, total,
+            jnp.sum(kept_full))
 
 
 def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total,
@@ -568,10 +577,9 @@ def rasterize_quick_query(
         opacities=opacities[:, 0])
 
     if settings.tile_budget > 0.0:
-        g_used, tile_count, total, live_total = _capped_quick_binning(
+        (g_used, tile_start, tile_count, _kept_full, total,
+         live_total) = _capped_quick_binning(
             settings, proj, opacities, interp)
-        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * \
-            settings.tile_budget_cap
     else:
         g_used, tile_start, tile_count, total, live_total = \
             _sorted_quick_binning(settings, proj, opacities, interp)

@@ -22,6 +22,10 @@ set -u
 OUT=${OUT:-/tmp/chip_logs}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# The axon TPU plugin must stay importable or jax.devices() fails with
+# "Backend axon is not in the list of known backends" (ROADMAP platform
+# facts) — pin PYTHONPATH so the queue survives fresh shells/cron.
+export PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   local name=$1 tmo=$2; shift 2
