@@ -393,7 +393,8 @@ def expand_entries_pallas(
     return result
 
 
-def pack_sort_keys(tile, depth, gauss, num_tiles: int):
+def pack_sort_keys(tile, depth, gauss, num_tiles: int,
+                   force_wide: bool = False):
     """Pack (tile, depth, gauss) into a tuple of sortable u32 key words.
 
     Grids up to 8190 tiles (1080p = 8160) pack into TWO words:
@@ -414,7 +415,9 @@ def pack_sort_keys(tile, depth, gauss, num_tiles: int):
     tile_u = tile.astype(jnp.uint32)
     gauss_u = gauss.astype(jnp.uint32)
     dead = tile >= num_tiles
-    if num_tiles < (1 << 13) - 1:
+    # force_wide exists so tests can exercise the 3-word (>1080p) path at
+    # small resolutions instead of rendering 14k interpret-mode tiles.
+    if num_tiles < (1 << 13) - 1 and not force_wide:
         hi = (tile_u << 19) | (depth_bits >> 12)
         lo = ((depth_bits & jnp.uint32(0xFFF)) << 20) | gauss_u
         # Dead entries (sentinel tile) sort to the end regardless of payload.

@@ -20,6 +20,28 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 jax.config.update("jax_platforms", os.environ.get("LSV2_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache for the suite: the big sharding/training
+# parity tests are COMPILE-dominated (100-200s each on one CPU core), so a
+# warm cache is what keeps repeat suite runs fast. The package-level guard
+# (langsplatv2_tpu._enable_compilation_cache) skips caching when
+# PALLAS_AXON_REMOTE_COMPILE is set because TPU executables there are built
+# remotely; the suite forces the CPU backend, whose jits compile locally
+# (verified: the whole suite compiles with the TPU tunnel down), so caching
+# is safe here. Opt out with LSV2_NO_COMPILE_CACHE=1.
+if (os.environ.get("LSV2_TEST_PLATFORM", "cpu") == "cpu"
+        and not os.environ.get("LSV2_NO_COMPILE_CACHE")):
+    _cache_dir = os.environ.get(
+        "LSV2_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "langsplatv2_tpu", "xla-cpu-tests"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -96,20 +96,17 @@ class TestPallasExpansion:
         counts = np.bincount(tile[tile < num_tiles], minlength=num_tiles)
         np.testing.assert_array_equal(np.asarray(t_count), counts)
 
-    @pytest.mark.slow
-    def test_1440p_quick_render_matches_xla(self):
-        """The 1440p grid (160x90 = 14,400 tiles) exceeds the 2-word key's
-        13-bit tile field; the 3-word path must reproduce the XLA
-        reference blend pixel-for-pixel (reference CUDA sort has no
-        resolution ceiling, backend_renderer.py:161-246)."""
-        n, h, w = 300, 1440, 2560
+    def test_wide_key_render_matches_two_word(self, monkeypatch):
+        """The 3-word (>1080p) sort-key path must reproduce the 2-word
+        path pixel-for-pixel (reference CUDA sort has no resolution
+        ceiling, backend_renderer.py:161-246). Exercised at small
+        resolution via force_wide — the full 1440p grid is covered at the
+        binning level by test_1440p_binning_matches_xla (rendering 14k
+        interpret-mode tiles costs minutes for no extra coverage)."""
+        n, h, w = 800, 80, 112
         means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
             n, h, w, seed=7)
         rng = np.random.default_rng(7)
-        # Small splats keep every tile under tile_cap (the XLA blend caps
-        # per-tile depth, the Pallas blend streams all entries — parity
-        # needs the cap to never bind).
-        scales = rng.uniform(0.005, 0.05, (n, 3)).astype(np.float32)
         L, K, TOPK = 1, 64, 4
         qw = rng.uniform(0, 1, (n, L * TOPK)).astype(np.float32)
         qi = rng.integers(0, K, (n, L * TOPK)).astype(np.float32)
@@ -120,15 +117,53 @@ class TestPallasExpansion:
             quick_indices=jnp.asarray(qi), quick_channels=L * K)
         s = RasterizeSettings(
             image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
-            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 14,
-            tile_cap=512, tile_batch=64, impl="xla")
-        ox = rasterize(s, jnp.asarray(means), ops, view, pm,
-                       jnp.zeros(3, jnp.float32), bg, **common)
-        op_ = rasterize(s._replace(impl="pallas"), jnp.asarray(means), ops,
-                        view, pm, jnp.zeros(3, jnp.float32), bg, **common)
-        np.testing.assert_allclose(op_.rgb, ox.rgb, atol=3e-5)
-        np.testing.assert_allclose(op_.feature_map, ox.feature_map,
-                                   atol=3e-5)
+            tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 13,
+            tile_cap=512, tile_batch=4, impl="pallas")
+        narrow = rasterize(s, jnp.asarray(means), ops, view, pm,
+                           jnp.zeros(3, jnp.float32), bg, **common)
+        import functools as _ft
+        orig = pallas_binning.pack_sort_keys
+        monkeypatch.setattr(pallas_binning, "pack_sort_keys",
+                            _ft.partial(orig, force_wide=True))
+        wide = rasterize(s, jnp.asarray(means), ops, view, pm,
+                         jnp.zeros(3, jnp.float32), bg, **common)
+        np.testing.assert_allclose(wide.rgb, narrow.rgb, atol=0)
+        np.testing.assert_allclose(wide.feature_map, narrow.feature_map,
+                                   atol=0)
+
+    @pytest.mark.slow
+    def test_1440p_binning_matches_xla(self):
+        """At a real 1440p grid (160x90 = 14,400 tiles > the 2-word key's
+        13-bit field) the 3-word binning must agree with the XLA
+        reference: same entry multiset per tile, same depth order."""
+        n, h, w = 300, 1440, 2560
+        means, scales, rots, ops, cols, view, pm, _, fovx, fovy = _scene(
+            n, h, w, seed=7)
+        # Small splats keep the entry total under the test budget at 3.7MP.
+        scales = (np.random.default_rng(7)
+                  .uniform(0.005, 0.05, (n, 3)).astype(np.float32))
+        proj = projection.preprocess(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots),
+            None, None, cols, view, pm, jnp.zeros(3, jnp.float32),
+            math.tan(fovx / 2), math.tan(fovy / 2), w, h, 0, 1.0)
+        gx, gy = -(-w // 16), -(-h // 16)
+        num_tiles = gx * gy
+        me = 2 ** 14
+        binned = binning.bin_gaussians(proj, gx, gy, me)
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            proj, gx, gy, me, interpret=True)
+        assert int(total) == int(binned.total_entries)
+        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        assert len(keys) == 3                       # the wide path engaged
+        g_sorted, tile_start, tile_count, _ = \
+            pallas_binning.sorted_binning_from_keys(keys, num_tiles)
+        np.testing.assert_array_equal(
+            np.asarray(tile_start), np.asarray(binned.tile_start))
+        np.testing.assert_array_equal(
+            np.asarray(tile_count), np.asarray(binned.tile_count))
+        t = int(binned.total_entries)
+        np.testing.assert_array_equal(
+            np.asarray(g_sorted)[:t], np.asarray(binned.gauss_id)[:t])
 
     def test_overflow_clamps_to_budget(self):
         h, w = 64, 64

@@ -88,7 +88,11 @@ class TestShardedTraining:
         gt_mask = np.ones((1, H, W), np.float32)
         return g, cam, model, jnp.asarray(gt_feat), jnp.asarray(gt_mask)
 
-    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    # (2, 4) exercises both mesh axes (data AND tile) — the strictly more
+    # general case; the pure-tile (1, 8) layout is covered by the cheap
+    # render-parity tests above. These tests are compile-dominated
+    # (~100-200s per mesh shape on one CPU core), so one shape each.
+    @pytest.mark.parametrize("mesh_shape", [(2, 4)])
     def test_sharded_loss_and_grads_match_unsharded(self, rng, mesh_shape):
         """Compare losses and GRADIENTS (psum'd across shards) against the
         single-device path. Post-Adam params are deliberately not compared:
@@ -147,7 +151,7 @@ class TestShardedTraining:
             np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
                                        err_msg=k)
 
-    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    @pytest.mark.parametrize("mesh_shape", [(2, 4)])
     def test_sharded_gram_loss_and_grads_match_unsharded(self, rng,
                                                          mesh_shape):
         """The gram-space sharded step (the production fast path: compact
