@@ -46,6 +46,9 @@ def make_settings(
     tile_batch: int = 16,
     impl: str = "auto",
     live_entries: int = 0,
+    tile_budget: float = 0.0,
+    tile_budget_cap: int = 128,
+    tile_budget_subdiv: int = 2,
 ) -> RasterizeSettings:
     return RasterizeSettings(
         image_height=int(camera.image_height),
@@ -59,6 +62,9 @@ def make_settings(
         tile_batch=tile_batch,
         impl=impl,
         live_entries=live_entries,
+        tile_budget=tile_budget,
+        tile_budget_cap=tile_budget_cap,
+        tile_budget_subdiv=tile_budget_subdiv,
     )
 
 

@@ -395,38 +395,90 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0],
     )
-    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
-        jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
-        settings.max_entries, opacities=lax.stop_gradient(opacities[:, 0]),
-        exact_cull=True, interpret=interp)
-    keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-
     topk = quick_weights.shape[1]
     packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4
-    if packed:
-        # Carry the sort permutation (expansion slot per sorted entry):
-        # the backward returns per-entry gradients to gaussian-major
-        # expansion order with one sort + cumsum instead of the E->N
-        # scatter-add (measured 36 ms vs ~10 ms at 1.6M entries).
-        g_sorted, tile_start, tile_count, tile_sorted, expidx = (
+    capped = settings.tile_budget > 0.0 and packed
+    if capped:
+        # OPT-IN budget-capped training (settings.tile_budget, same
+        # transmittance-bound cull as the serving path's
+        # rasterize._capped_quick_binning): the forward blends — and the
+        # backward replays — only the budget-visible depth prefix of each
+        # tile, laid out as dense [T, cap] slices. The dominant training
+        # costs (w16 row gather, replay kernel, E->N reduction) drop from
+        # the live total to T*cap, and every blend/replay segment starts
+        # 128-aligned. Approximate by design (gradients of bound-culled
+        # entries are zero; error scale ~ tile_budget — exact when the
+        # budget is uncrossable). The backward takes the scatter-add
+        # reduction branch (at T*cap entries the scatter is already in
+        # its fast width-64 regime; no perm machinery needed).
+        cap = settings.tile_budget_cap
+        assert cap % 128 == 0, "tile_budget_cap must be 128-lane aligned"
+        subdiv = settings.tile_budget_subdiv
+        n_box = subdiv * subdiv
+        tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
+            jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
+            settings.max_entries,
+            opacities=lax.stop_gradient(opacities[:, 0]),
+            exact_cull=True, with_alpha=subdiv, interpret=interp)
+        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        words = pallas_binning.pack_lm_words(lms)
+        g_full, ts0, tc0, _tile_sorted, words_s = (
             pallas_binning.sorted_binning_from_keys(
-                keys, num_tiles, with_perm=True))
-    else:
-        g_sorted, tile_start, tile_count, tile_sorted = (
-            pallas_binning.sorted_binning_from_keys(keys, num_tiles))
+                keys, num_tiles, extra=words))
+        lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
+        kept_full = pallas_binning.budget_counts(
+            lm_sorted, ts0, tc0, settings.tile_budget)
+        kept = jnp.minimum(jnp.minimum(kept_full, cap), settings.tile_cap)
+        # Pad so no slice is start-clamped (XLA dynamic_slice clamps
+        # starts, which would silently shift a tail tile's window).
+        g_pad = jnp.pad(g_full, (0, cap))
+        g_sorted = jax.vmap(
+            lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(ts0
+                                                               ).reshape(-1)
+        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * cap
+        tile_count = kept
         expidx = None
-    live_total = jnp.sum(tile_count)
-    live = settings.live_entries
-    if packed and 0 < live < settings.max_entries:
-        # Live-prefix clamp (same contract as the serving path,
-        # rasterize._sorted_quick_binning): dead entries sort to the end,
-        # so the gather + replay + backward sort-back all shrink to the
-        # live prefix. live_total (pre-clamp) is the sizing telemetry;
-        # live_total > live means entries were DROPPED — the trainer
-        # rebuilds the step with a bigger budget when it sees that.
-        g_sorted = g_sorted[:live]
-        tile_count = jnp.clip(
-            jnp.minimum(tile_count, live - tile_start), 0, None)
+        # Slot validity: window slots past kept[t] hold neighbouring
+        # tiles' entries — the replay's gradients there must be dropped.
+        entry_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                       < kept[:, None]).reshape(-1)
+        live_total = jnp.sum(kept_full)
+        # Pre-clamp counts: max > cap reveals cap saturation.
+        telemetry_max = kept_full.max()
+    else:
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
+            settings.max_entries,
+            opacities=lax.stop_gradient(opacities[:, 0]),
+            exact_cull=True, interpret=interp)
+        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        if packed:
+            # Carry the sort permutation (expansion slot per sorted entry):
+            # the backward returns per-entry gradients to gaussian-major
+            # expansion order with one sort + cumsum instead of the E->N
+            # scatter-add (measured 36 ms vs ~10 ms at 1.6M entries).
+            g_sorted, tile_start, tile_count, tile_sorted, expidx = (
+                pallas_binning.sorted_binning_from_keys(
+                    keys, num_tiles, with_perm=True))
+        else:
+            g_sorted, tile_start, tile_count, tile_sorted = (
+                pallas_binning.sorted_binning_from_keys(keys, num_tiles))
+            expidx = None
+        live_total = jnp.sum(tile_count)
+        live = settings.live_entries
+        if packed and 0 < live < settings.max_entries:
+            # Live-prefix clamp (same contract as the serving path,
+            # rasterize._sorted_quick_binning): dead entries sort to the
+            # end, so the gather + replay + backward sort-back all shrink
+            # to the live prefix. live_total (pre-clamp) is the sizing
+            # telemetry; live_total > live means entries were DROPPED —
+            # the trainer rebuilds the step with a bigger budget when it
+            # sees that.
+            g_sorted = g_sorted[:live]
+            tile_count = jnp.clip(
+                jnp.minimum(tile_count, live - tile_start), 0, None)
+        entry_valid = (tile_sorted < num_tiles)[:g_sorted.shape[0]]
+        telemetry_max = tile_count.max()
     if packed:
         # Per-level training (topk <= 4): the WHOLE entry state — geometry,
         # index pairs, weights — packs into ONE 16-wide f32 row, halving
@@ -463,10 +515,9 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
     final_t = rasterize_tiles.tiles_to_image(
         t_t[..., None], grid_x, grid_y, H, W)[0]
 
-    outputs = (rgb, feat, final_t, proj.radius, tile_count.max(), total,
+    outputs = (rgb, feat, final_t, proj.radius, telemetry_max, total,
                live_total)
-    residuals = (entry_geom, tile_start, tile_count, g_sorted,
-                 (tile_sorted < num_tiles)[:g_sorted.shape[0]],
+    residuals = (entry_geom, tile_start, tile_count, g_sorted, entry_valid,
                  quick_indices, expidx,
                  lax.stop_gradient(proj.tiles_touched.astype(jnp.int32)))
     return outputs, residuals

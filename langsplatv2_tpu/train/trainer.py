@@ -663,6 +663,10 @@ def train_features(
     tile_cap: int = 1024,
     max_entries: int = 2 ** 21,
     accum_iter: int = 1,
+    tile_budget: float = 0.0,
+    tile_budget_cap: int = 128,
+    tile_budget_subdiv: int = 2,
+    impl: str = "auto",
     opt_state=None,
     feature_cache: dict | None = None,
     on_iteration: Callable[[int, GaussianModel, Any, dict], None] | None = None,
@@ -706,12 +710,18 @@ def train_features(
                 round(camera.tanfovx, 9), round(camera.tanfovy, 9))
 
     def get_step(camera, sig):
-        live = live_budget.get(sig, 0)
+        # Budget-capped mode (tile_budget > 0) replaces the live-prefix
+        # clamp entirely — the dense [T, cap] layout is fixed-size, so
+        # the adaptive budget machinery never rebuilds the step.
+        live = 0 if tile_budget > 0.0 else live_budget.get(sig, 0)
         key = sig + (live,)
         if key not in step_cache:
             settings = make_settings(camera, model.active_sh_degree, 1.0,
                                      max_entries, tile_cap, tile_batch=16,
-                                     live_entries=live)
+                                     impl=impl, live_entries=live,
+                                     tile_budget=tile_budget,
+                                     tile_budget_cap=tile_budget_cap,
+                                     tile_budget_subdiv=tile_budget_subdiv)
             step_cache[key] = make_feature_train_step(
                 settings, optimizer, topk, use_cos_loss, use_l1_loss,
                 normalize, accum_iter, loss_space=loss_space)
@@ -763,6 +773,8 @@ def train_features(
                     gt_mask, do_update, layer_idx=layer_idx)
             lt = int(metrics.get("live_total", -1))
             if lt < 0:                      # non-Pallas route: no telemetry
+                break
+            if tile_budget > 0.0:           # capped layout: fixed-size step
                 break
             cur = live_budget.get(sig, 0)
             if cur == 0:

@@ -61,7 +61,15 @@ def main():
         tanfovy=math.tan(fovy / 2))
     import os
     budget = int(os.environ.get("LSV2_BUDGET", 2 ** 21))
-    settings = make_settings(cam, 0, 1.0, budget, 2048, 16)
+    # A/B knobs: LSV2_LIVE (live-prefix clamp; the trainer sizes this
+    # adaptively, here set it to the scene's measured live total rounded
+    # up), LSV2_TILE_BUDGET/_CAP/_SUBDIV (budget-capped training mode).
+    settings = make_settings(
+        cam, 0, 1.0, budget, 2048, 16,
+        live_entries=int(os.environ.get("LSV2_LIVE", "0")),
+        tile_budget=float(os.environ.get("LSV2_TILE_BUDGET", "0")),
+        tile_budget_cap=int(os.environ.get("LSV2_TILE_CAP", "128")),
+        tile_budget_subdiv=int(os.environ.get("LSV2_TILE_SUBDIV", "2")))
 
     table = jnp.asarray(rng.normal(size=(nseg, 512)).astype(np.float32))
     seg = jnp.asarray(rng.integers(0, nseg, (h, w)).astype(np.int32))

@@ -41,6 +41,7 @@ run vpu_bf16          900 python scripts/profile_vpu_bf16.py
 run bench_bf16cells 2400 env LSV2_BF16_CELLS=1 python bench.py
 run frame_stages     1800 python scripts/profile_frame_stages.py
 run train             1800 python scripts/profile_train.py
+run train_capped     1800 env LSV2_TILE_BUDGET=1e-6 python scripts/profile_train.py
 run train_stages     1800 python scripts/profile_train_stages.py
 run rgb_train        1800 python scripts/profile_rgb_train.py
 run expand_variants  1800 python scripts/profile_expand_variants.py

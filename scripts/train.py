@@ -50,6 +50,14 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tile_cap", type=int, default=1024)
     parser.add_argument("--max_entries", type=int, default=2 ** 21)
+    parser.add_argument(
+        "--tile_budget", type=float, default=0.0,
+        help="Feature phase only: opt-in budget-capped binning — blend and"
+             " differentiate only each tile's transmittance-bound-visible"
+             " depth prefix in a dense [tiles, cap] layout (approximate;"
+             " error scale ~ budget; 0 disables)")
+    parser.add_argument("--tile_budget_cap", type=int, default=128)
+    parser.add_argument("--tile_budget_subdiv", type=int, default=2)
     # Rasterizer implementation for the RGB phase: "auto" selects the
     # Pallas forward + RGB Pallas backward on real TPUs and the XLA
     # autodiff pipeline elsewhere; "xla"/"pallas" force one path.
@@ -232,6 +240,9 @@ def main():
             use_l1_loss=args.l1_loss, normalize=args.normalize,
             bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
+            tile_budget=args.tile_budget,
+            tile_budget_cap=args.tile_budget_cap,
+            tile_budget_subdiv=args.tile_budget_subdiv,
             opt_state=init_opt_state, feature_cache={},
             on_iteration=on_iter,
             gui_source_path=dataset.source_path if args.gui else None)

@@ -685,6 +685,53 @@ class TestQuickTrainVJP:
         np.testing.assert_allclose(v_l, v_p, rtol=1e-6)
         np.testing.assert_allclose(g_l, g_p, atol=1e-6)
 
+    def test_capped_mode_grads(self):
+        """Budget-capped TRAINING (settings.tile_budget on the quick-train
+        route): at an uncrossable budget with a covering cap the forward
+        and d(quick_weights) must reproduce the standard Pallas path; at a
+        serving-grade budget entries must actually drop with finite,
+        close grads."""
+        n, h, w = 300, 48, 64
+        means, scales, rots, ops, cols, view, pm, proj, fovx, fovy = _scene(
+            n, h, w)
+        rng = np.random.default_rng(0)
+        K, TOPK = 64, 4
+        logits = rng.normal(size=(n, K)).astype(np.float32)
+        from langsplatv2_tpu.utils.sparse_codes import get_weights_and_indices
+        qw0, qi = get_weights_and_indices(jnp.asarray(logits), TOPK)
+        cot = jnp.asarray(rng.normal(size=(K, h, w)).astype(np.float32))
+
+        def make_loss(budget, cap=256):
+            st = RasterizeSettings(
+                image_height=h, image_width=w, tanfovx=math.tan(fovx / 2),
+                tanfovy=math.tan(fovy / 2), sh_degree=0, max_entries=2 ** 12,
+                tile_cap=256, tile_batch=4, impl="pallas",
+                tile_budget=budget, tile_budget_cap=cap)
+
+            def loss(qw):
+                out = rasterize(
+                    st, jnp.asarray(means), ops, view, pm,
+                    jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                    scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+                    colors_precomp=cols, quick_weights=qw, quick_indices=qi,
+                    quick_channels=K, quick_train=True)
+                return jnp.sum(out.feature_map * cot), out.live_total
+            return lambda qw: loss(qw)[0], loss
+
+        v_ref, g_ref = jax.value_and_grad(make_loss(0.0)[0])(qw0)
+        v_cap, g_cap = jax.value_and_grad(make_loss(1e-300)[0])(qw0)
+        np.testing.assert_allclose(v_cap, v_ref, rtol=1e-5)
+        np.testing.assert_allclose(g_cap, g_ref, atol=1e-5)
+
+        # Aggressive budget: entries drop, grads stay finite and close.
+        _, lt_ref = make_loss(0.0)[1](qw0)
+        v_a, g_a = jax.value_and_grad(make_loss(1e-6, cap=128)[0])(qw0)
+        _, lt_a = make_loss(1e-6, cap=128)[1](qw0)
+        assert int(lt_a) < int(lt_ref)
+        assert np.isfinite(np.asarray(g_a)).all()
+        denom = max(float(jnp.abs(g_ref).max()), 1e-8)
+        assert float(jnp.abs(g_a - g_ref).max()) / denom < 0.2
+
 
 class TestRGBCustomVJP:
     def test_geometry_grads_match_xla_autodiff(self):

@@ -145,6 +145,48 @@ class TestFeatureTraining:
         np.testing.assert_array_equal(np.asarray(model2.xyz), np.asarray(model.xyz))
         np.testing.assert_array_equal(np.asarray(model2.opacity), np.asarray(model.opacity))
 
+    def test_cosine_loss_drops_capped_mode(self, rng, tmp_path):
+        """Budget-capped feature training (tile_budget > 0, Pallas route):
+        the dense [T, cap] layout must still train — loss drops on the
+        same two-group scene as the standard-path test, geometry stays
+        frozen, and the fixed-size step skips the adaptive live-budget
+        machinery."""
+        n = 40
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        pts = np.asarray(g["means3d"]).copy()
+        pts[: n // 2, 0] = np.abs(pts[: n // 2, 0])
+        pts[n // 2:, 0] = -np.abs(pts[n // 2:, 0])
+        cols = np.full((n, 3), 0.5, np.float32)
+        model = gm.create_from_pcd(pts, cols, 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 2.0))
+        model = gm.init_language_features(model, jax.random.PRNGKey(1), 1, 16)
+
+        table = np.zeros((2, 512), np.float32)
+        table[0, 0] = 1.0
+        table[1, 1] = 1.0
+        seg = np.zeros((H, W), np.int32)
+        seg[:, W // 2:] = 1
+
+        class LFCam(FakeCam):
+            def get_language_feature_compact(self, lf_dir, level):
+                return table, seg
+
+        fake = LFCam(cam, np.zeros((3, H, W), np.float32))
+        opt = make_opt(include_feature=True)
+        model2, _, logs = trainer.train_features(
+            model, [fake], opt, lf_dir="", feature_level=1,
+            iterations=30, topk=4, tile_cap=256, max_entries=2 ** 14,
+            tile_budget=1e-4, tile_budget_cap=128, impl="pallas",
+            feature_cache={})
+        # 30 interpret-mode iters (the standard-path test gets 80): the
+        # capped step declines ~12% here (measured 0.972 -> 0.852) —
+        # assert a clear drop without demanding the 80-iter trajectory.
+        first, last = np.mean(logs.losses[:5]), np.mean(logs.losses[-5:])
+        assert last < first * 0.92, (first, last)
+        np.testing.assert_array_equal(np.asarray(model2.xyz),
+                                      np.asarray(model.xyz))
+
     def test_accum_iter_steps_every_n(self, rng):
         """With accum_iter=N the optimizer applies only every Nth iteration
         (reference train.py:261), summing grads in between like torch."""
