@@ -83,6 +83,7 @@ def render(
     convert_shs_python: bool = False,
     compute_cov3d_python: bool = False,
     means2d_dummy: jnp.ndarray | None = None,
+    precomputed_quick: tuple | None = None,
 ) -> RenderOutput:
     scales = rotations = cov3d = None
     if compute_cov3d_python:
@@ -118,7 +119,14 @@ def render(
         # form keeps the per-entry state two w16 gathers on TPU
         # (ops/pallas_train.py quick-train VJP) and its weight gradients
         # chain to the logits through get_weights_and_indices.
-        quick_weights, quick_indices = model.get_weights_and_indices(topk)
+        # `precomputed_quick` lets a camera-batched train step compute the
+        # (weights, indices) pair ONCE outside its per-camera scan — the
+        # top-k forward and its backward then run once per optimizer group
+        # instead of once per camera (trainer.make_feature_train_step_batched).
+        if precomputed_quick is not None:
+            quick_weights, quick_indices = precomputed_quick
+        else:
+            quick_weights, quick_indices = model.get_weights_and_indices(topk)
         L, K, _ = model.codebooks.shape
         quick_channels = L * K
         quick_train = True

@@ -448,6 +448,81 @@ def make_feature_train_step(
     return step
 
 
+def make_feature_train_step_batched(
+    settings,
+    optimizer: GroupedOptimizer,
+    topk: int,
+    loss_space: str = "gram",
+):
+    """Camera-batched feature step: B cameras rendered in ONE jit via
+    lax.scan, gradients summed, one optimizer update — semantically
+    identical to accum_iter=B sequential steps (torch .grad summing,
+    reference train.py:261) but with the per-model work amortized:
+
+    - the sparse-code top-k forward (get_weights_and_indices) runs once
+      per group (hoisted out of the scan via render's precomputed_quick);
+      its backward runs once on the scan-accumulated d(quick_weights);
+    - the Adam update runs once per group.
+
+    At production scale those two blocks are ~49 ms of a 162 ms step
+    (ROADMAP feature-step attribution), so B=4 models to ~1.3x it/s on
+    top of any per-camera render savings. Gram loss space only (the
+    shipped cosine-only default)."""
+    assert loss_space == "gram", "batched feature step implements gram only"
+    from ..ops.rasterize import _pallas_supported
+
+    tiles_mode = (settings.impl == "pallas"
+                  or (settings.impl == "auto" and _pallas_supported()))
+    render_settings = settings._replace(assemble=False) if tiles_mode \
+        else settings
+
+    @partial(jax.jit, static_argnames=("layer_idx",))
+    def step(model: GaussianModel, opt_state, views, projs, camposs, bg,
+             gt_tables, seg_maps, do_update, layer_idx: int = 0):
+        """views [B,4,4], projs [B,4,4], camposs [B,3], gt_tables [B,S,512],
+        seg_maps [B,H,W]. `do_update` (traced bool) skips the optimizer
+        apply — the reference never steps on the final iteration
+        (train.py:261 quirk, matching the accum path's flag). Returns
+        per-camera losses [B] in metrics."""
+        params = feature_params(model)
+
+        def loss_fn(params):
+            m = model.replace(**params)
+            qw, qi = m.get_weights_and_indices(topk)
+
+            def body(carry, xs):
+                view, proj, campos, ga, gb = xs
+                out = render(render_settings, m, view, proj, campos, bg,
+                             include_feature=True, topk=topk,
+                             precomputed_quick=(qw, qi))
+                live = (jnp.asarray(-1, jnp.int32) if out.live_total is None
+                        else out.live_total)
+                lf = gram_cos_loss_tiles if tiles_mode else gram_cos_loss
+                loss = lf(m.codebooks, out.language_feature_weight_map,
+                          ga, gb, layer_idx)
+                return carry + loss, (loss, live)
+
+            total, (losses_b, lives) = jax.lax.scan(
+                body, jnp.asarray(0.0, jnp.float32),
+                (views, projs, camposs, gt_tables, seg_maps))
+            return total, (losses_b, lives)
+
+        (loss_sum, (losses_b, lives)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads["language_logits"] = jnp.where(
+            model.live[:, None], grads["language_logits"], 0.0)
+        new_params, opt_state_out = jax.lax.cond(
+            do_update,
+            lambda _: optimizer.update(grads, opt_state, params),
+            lambda _: (params, opt_state), None)
+        model = model.replace(**new_params)
+        return model, opt_state_out, {
+            "loss": loss_sum, "losses": losses_b,
+            "live_total": jnp.max(lives)}
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Densification driver (host-side rare path)
 # ---------------------------------------------------------------------------
@@ -663,6 +738,7 @@ def train_features(
     tile_cap: int = 1024,
     max_entries: int = 2 ** 21,
     accum_iter: int = 1,
+    cam_batch: int = 1,
     tile_budget: float = 0.0,
     tile_budget_cap: int = 128,
     tile_budget_subdiv: int = 2,
@@ -743,6 +819,107 @@ def train_features(
         if feature_cache is not None:
             feature_cache[cam.image_name] = pair
         return pair
+
+    if cam_batch > 1:
+        # Camera-batched mode: groups of cam_batch iterations run in ONE
+        # jitted step (scan over cameras, summed grads, single update) —
+        # gradient-accumulation semantics with the top-k weights forward/
+        # backward and Adam amortized across the group
+        # (make_feature_train_step_batched). Opt-in via --cam_batch.
+        assert gram, "cam_batch > 1 requires the gram (cosine-only) config"
+        assert accum_iter == 1, \
+            "cam_batch already accumulates; combine with accum_iter is unsupported"
+        sigs = {cam_sig(c) for c in cameras}
+        if len(sigs) != 1:
+            raise ValueError(
+                "cam_batch > 1 needs one shared camera (H, W, fov) "
+                f"signature across the dataset; got {len(sigs)}")
+
+        def get_step_batched(camera, sig):
+            live = 0 if tile_budget > 0.0 else live_budget.get(sig, 0)
+            key = sig + (live, "batched")
+            if key not in step_cache:
+                settings = make_settings(
+                    camera, model.active_sh_degree, 1.0,
+                    max_entries, tile_cap, tile_batch=16,
+                    impl=impl, live_entries=live,
+                    tile_budget=tile_budget,
+                    tile_budget_cap=tile_budget_cap,
+                    tile_budget_subdiv=tile_budget_subdiv)
+                step_cache[key] = make_feature_train_step_batched(
+                    settings, optimizer, topk, loss_space="gram")
+            return step_cache[key]
+
+        def layer_of(it):
+            return min(int(it / 10000 * layer_num), layer_num - 1)
+
+        viewpoint_stack = []
+        iteration = first_iter + 1
+        while iteration <= iterations:
+            if gui_source_path is not None:
+                _gui_poll(model, bg_color, iteration, iterations,
+                          gui_source_path, max_entries, tile_cap)
+            layer_idx = layer_of(iteration)
+            # Group size: capped by cam_batch, the remaining iterations,
+            # and the current curriculum segment (layer_idx is jit-static,
+            # so a group never straddles a layer change).
+            g = 1
+            while (g < cam_batch and iteration + g <= iterations
+                   and layer_of(iteration + g) == layer_idx):
+                g += 1
+            cams = []
+            for _ in range(g):
+                if not viewpoint_stack:
+                    viewpoint_stack = list(cameras)
+                cams.append(viewpoint_stack.pop(
+                    rng.randint(0, len(viewpoint_stack) - 1)))
+            sig = cam_sig(cams[0])
+            arrs = [camera_arrays(c, bg_color) for c in cams]
+            bg = arrs[0][3]
+            views = jnp.stack([a[0] for a in arrs])
+            projs = jnp.stack([a[1] for a in arrs])
+            camposs = jnp.stack([a[2] for a in arrs])
+            gts = [get_gt(c) for c in cams]
+            # Tables are already padded to a coarse 512-row grid; pad to
+            # the group max so the batch stacks (padded rows are never
+            # selected by any seg id).
+            s_max = max(t.shape[0] for t, _ in gts)
+            gt_tables = jnp.stack([
+                jnp.pad(t, ((0, s_max - t.shape[0]), (0, 0)))
+                for t, _ in gts])
+            seg_maps = jnp.stack([s for _, s in gts])
+            group_end = iteration + g - 1
+            do_update = jnp.asarray(group_end < iterations)
+            while True:
+                step = get_step_batched(cams[0], sig)
+                prev = (model, opt_state)
+                model, opt_state, metrics = step(
+                    model, opt_state, views, projs, camposs, bg,
+                    gt_tables, seg_maps, do_update, layer_idx=layer_idx)
+                lt = int(metrics.get("live_total", -1))
+                if lt < 0 or tile_budget > 0.0:
+                    break
+                cur = live_budget.get(sig, 0)
+                if cur == 0:
+                    live_budget[sig] = _grow_budget(lt)
+                    break
+                if lt <= cur:
+                    break
+                # The clamp dropped real entries on some camera in the
+                # group: grow and redo the whole group pre-update.
+                model, opt_state = prev
+                live_budget[sig] = _grow_budget(lt)
+            losses_b = np.asarray(metrics["losses"])
+            for j in range(g):
+                loss = float(losses_b[j])
+                logs.ema_loss = 0.4 * loss + 0.6 * logs.ema_loss
+                logs.losses.append(loss)
+                if on_iteration is not None:
+                    on_iteration(iteration + j, model, opt_state, {
+                        "loss": jnp.asarray(losses_b[j]),
+                        "live_total": metrics["live_total"]})
+            iteration += g
+        return model, opt_state, logs
 
     viewpoint_stack: list = []
     for iteration in range(first_iter + 1, iterations + 1):

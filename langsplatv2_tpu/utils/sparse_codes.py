@@ -58,9 +58,21 @@ def softmax_to_topk_soft_code(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 def get_weights_and_indices(logits: jnp.ndarray, k: int):
     """Compact form: ([N,k] weights, [N,k] float indices), both ordered by
     ascending codebook index — matching the reference's nonzero-extraction
-    traversal order (vq_utils.py:26-40)."""
+    traversal order (vq_utils.py:26-40).
+
+    The renormalized weights are computed as a softmax over the SELECTED
+    logits — mathematically identical to the reference's
+    topk(softmax)/(sum+1e-10) (to ~1e-10 relative, the renorm eps), but
+    with gradients that are EXACTLY zero on non-selected logits. The
+    reference formulation's backward analytically cancels on those slots
+    but leaves f32 cancellation noise (~1e-8), which Adam amplifies into
+    an O(lr)-per-step random walk of every untrained logit; the local
+    softmax kills that noise at the source (and makes gradient
+    accumulation order-independent — trainer.make_feature_train_step_batched
+    relies on it for parity with the sequential path)."""
     y = jax.nn.softmax(logits, axis=1)
-    cols = [(i, v) for i, v, _sel in _topk_onehots(y, k)]
+    cols = [(i, jnp.sum(jnp.where(sel, logits, 0.0), axis=1))
+            for i, _v, sel in _topk_onehots(y, k)]
     # Ascending-index order via a column-wise bubble sorting network
     # (k(k-1)/2 compare-exchanges of whole [N] columns — no argsort, no
     # take_along_axis; the selected indices are distinct so the order is
@@ -73,8 +85,8 @@ def get_weights_and_indices(logits: jnp.ndarray, k: int):
             cols[j] = (jnp.where(swap, ib, ia), jnp.where(swap, vb, va))
             cols[j + 1] = (jnp.where(swap, ia, ib), jnp.where(swap, va, vb))
     idx = jnp.stack([c[0] for c in cols], axis=1)
-    vals = jnp.stack([c[1] for c in cols], axis=1)
-    weights = vals / (vals.sum(axis=1, keepdims=True) + 1e-10)
+    lsel = jnp.stack([c[1] for c in cols], axis=1)   # selected logits [N, k]
+    weights = jax.nn.softmax(lsel, axis=1)
     return weights.astype(jnp.float32), idx.astype(jnp.float32)
 
 

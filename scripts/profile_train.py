@@ -134,6 +134,37 @@ def main():
     dt = (time.time() - t0) / k
     log(f"chain: {dt * 1000:.1f} ms/step = {1 / dt:.2f} it/s (incl. tunnel)")
 
+    # --- camera-batched step (LSV2_CAM_BATCH > 1) --------------------------
+    # cam_batch=B runs B cameras in ONE jitted step with the top-k weights
+    # pass and Adam amortized over the group (trainer.
+    # make_feature_train_step_batched); per-iteration cost = step time / B.
+    cam_batch = int(os.environ.get("LSV2_CAM_BATCH", "0"))
+    if cam_batch > 1:
+        bstep = trainer.make_feature_train_step_batched(
+            settings, optimizer, topk=4, loss_space="gram")
+        views_b = jnp.broadcast_to(view, (cam_batch, 4, 4))
+        projs_b = jnp.broadcast_to(proj, (cam_batch, 4, 4))
+        camposs_b = jnp.broadcast_to(campos, (cam_batch, 3))
+        tables_b = jnp.broadcast_to(table, (cam_batch,) + table.shape)
+        segs_b = jnp.broadcast_to(seg, (cam_batch,) + seg.shape)
+        do_update = jnp.asarray(True)
+        t0 = time.time()
+        mb, osb, metb = bstep(model, opt_state, views_b, projs_b, camposs_b,
+                              bg, tables_b, segs_b, do_update, layer_idx=0)
+        _ = float(metb["loss"])
+        log(f"batched(B={cam_batch}) compile+first: {time.time() - t0:.1f}s")
+        kb = 6
+        mb, osb = model, opt_state
+        t0 = time.time()
+        for _ in range(kb):
+            mb, osb, metb = bstep(mb, osb, views_b, projs_b, camposs_b,
+                                  bg, tables_b, segs_b, do_update,
+                                  layer_idx=0)
+        _ = float(metb["loss"])
+        dt = (time.time() - t0) / (kb * cam_batch)
+        log(f"batched chain: {dt * 1000:.1f} ms/iter = {1 / dt:.2f} it/s "
+            f"(incl. tunnel, /{cam_batch})")
+
     # --- scan inside one jit ----------------------------------------------
     kscan = 8
 

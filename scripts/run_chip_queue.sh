@@ -42,6 +42,8 @@ run bench_bf16cells 2400 env LSV2_BF16_CELLS=1 python bench.py
 run frame_stages     1800 python scripts/profile_frame_stages.py
 run train             1800 python scripts/profile_train.py
 run train_capped     1800 env LSV2_TILE_BUDGET=1e-6 python scripts/profile_train.py
+run train_cambatch   1800 env LSV2_CAM_BATCH=4 python scripts/profile_train.py
+run train_capbatch   1800 env LSV2_TILE_BUDGET=1e-6 LSV2_CAM_BATCH=4 python scripts/profile_train.py
 run train_stages     1800 python scripts/profile_train_stages.py
 run rgb_train        1800 python scripts/profile_rgb_train.py
 run expand_variants  1800 python scripts/profile_expand_variants.py

@@ -45,6 +45,12 @@ def main():
     parser.add_argument("--l1_loss", action="store_true", default=False)
     parser.add_argument("--normalize", action="store_true", default=False)
     parser.add_argument("--accum_iter", type=int, default=1)
+    parser.add_argument(
+        "--cam_batch", type=int, default=1,
+        help="Feature phase, gram config only: render N cameras per jitted"
+             " step (summed grads, one update — accumulation semantics)"
+             " with the top-k weights pass and Adam amortized over the"
+             " group")
     parser.add_argument("--topk", type=int, default=1)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
@@ -240,6 +246,7 @@ def main():
             use_l1_loss=args.l1_loss, normalize=args.normalize,
             bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
+            cam_batch=args.cam_batch,
             tile_budget=args.tile_budget,
             tile_budget_cap=args.tile_budget_cap,
             tile_budget_subdiv=args.tile_budget_subdiv,

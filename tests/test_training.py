@@ -228,6 +228,61 @@ class TestFeatureTraining:
         # ...and the final iteration never steps (train.py:261 quirk).
         np.testing.assert_array_equal(logits[7], logits[6])
 
+    def _two_cam_feature_scene(self, rng):
+        """A two-group scene + two cameras (distinct poses/names) sharing
+        one (H, W, fov) signature — the cam_batch contract."""
+        n = 30
+        g = random_gaussians(rng, n)
+        pts = np.asarray(g["means3d"]).copy()
+        pts[: n // 2, 0] = np.abs(pts[: n // 2, 0])
+        pts[n // 2:, 0] = -np.abs(pts[n // 2:, 0])
+        model = gm.create_from_pcd(
+            pts, np.full((n, 3), 0.5, np.float32), 1.0)
+        model = model.replace(opacity=jnp.full((n, 1), 2.0))
+        model = gm.init_language_features(model, jax.random.PRNGKey(5), 1, 16)
+        table = np.zeros((2, 512), np.float32)
+        table[0, 0] = 1.0
+        table[1, 1] = 1.0
+        seg = np.zeros((H, W), np.int32)
+        seg[:, W // 2:] = 1
+
+        class LFCam(FakeCam):
+            def get_language_feature_compact(self, lf_dir, level):
+                return table, seg
+
+        cams = []
+        for i, tx in enumerate((0.0, 0.15)):
+            cd = make_camera(H, W, t=np.array([tx, 0.0, 0.0]))
+            c = LFCam(cd, np.zeros((3, H, W), np.float32))
+            c.image_name = f"fake{i}"
+            cams.append(c)
+        return model, cams
+
+    @pytest.mark.parametrize("impl", ["auto", "pallas"])
+    def test_cam_batch_matches_accum(self, rng, impl):
+        """cam_batch=B is gradient-accumulation semantics: the batched step
+        (ONE jit scanning the cameras, top-k weights pass hoisted out of
+        the scan, one update per group, no update on the final iteration)
+        must reproduce the accum_iter=B sequential trajectory — params and
+        per-iteration losses — on both the XLA and Pallas routes."""
+        model, cams = self._two_cam_feature_scene(rng)
+        opt = make_opt(include_feature=True)
+        kw = dict(lf_dir="", feature_level=1, iterations=7, topk=4,
+                  tile_cap=256, max_entries=2 ** 14, impl=impl,
+                  seed=11)
+        m_seq, _, logs_seq = trainer.train_features(
+            model, cams, opt, accum_iter=3, feature_cache={}, **kw)
+        m_bat, _, logs_bat = trainer.train_features(
+            model, cams, opt, cam_batch=3, feature_cache={}, **kw)
+        np.testing.assert_allclose(
+            np.asarray(m_bat.language_logits),
+            np.asarray(m_seq.language_logits), rtol=0, atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(m_bat.codebooks),
+            np.asarray(m_seq.codebooks), rtol=0, atol=3e-5)
+        np.testing.assert_allclose(
+            logs_bat.losses, logs_seq.losses, rtol=3e-5, atol=1e-6)
+
     def test_gram_step_matches_pixel_step(self, rng):
         """The gram-space cosine step (compact GT on device) must produce
         the same loss and the same parameter update as the pixel-space step
