@@ -79,13 +79,17 @@ def _enable_compilation_cache() -> None:
 
     if os.environ.get("LSV2_NO_COMPILE_CACHE"):
         return
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+    if (os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+            and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"):
         # Remote-compile environments build executables on a DIFFERENT
         # machine (observed: AOT CPU results carrying AMX/prefer-no-gather
         # features this host lacks — XLA warns of possible SIGILL), and the
         # TPU path never hits the cache there anyway (measured, ROADMAP).
         # Persisting those executables across processes is a correctness
-        # risk, not a speedup — skip.
+        # risk, not a speedup — skip. Exception: a process PINNED to the
+        # CPU backend (JAX_PLATFORMS=cpu — e.g. the test suite's CLI
+        # subprocesses) compiles locally, where caching is safe and is
+        # what keeps repeat suite runs fast.
         return
     try:
         import jax
@@ -96,7 +100,13 @@ def _enable_compilation_cache() -> None:
                          "langsplatv2_tpu", "xla"))
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # LSV2_CACHE_MIN_COMPILE: the test suite lowers this to ~0.2s so its
+        # CLI SUBPROCESSES (tiny-scene compiles, mostly 0.5-2s each) hit the
+        # cache on repeat runs; 2s is the right production default (entries
+        # below that cost about as much to read as to recompile).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(os.environ.get("LSV2_CACHE_MIN_COMPILE",
+                                               "2.0")))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # unsupported jax version / read-only FS — run uncached
         pass

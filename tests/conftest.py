@@ -37,8 +37,13 @@ if (os.environ.get("LSV2_TEST_PLATFORM", "cpu") == "cpu"
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # 0.2s threshold: the suite (and its CLI SUBPROCESSES, which
+        # inherit these env vars) compiles many 0.5-2s tiny-scene programs
+        # that the 2s production default refuses to cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        os.environ.setdefault("LSV2_CACHE_MIN_COMPILE", "0.2")
+        os.environ.setdefault("LSV2_COMPILE_CACHE_DIR", _cache_dir)
     except Exception:
         pass
 

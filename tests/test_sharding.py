@@ -23,6 +23,14 @@ H, W = 48, 64
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 
 
+def jrun(fn, *args):
+    """Run an eager composition under ONE jit: op-by-op eager dispatch on
+    an 8-device CPU mesh costs ~20-50ms per op (hundreds of tiny compiles
+    the persistent cache refuses to store); a single traced compile is both
+    faster cold and persistently cached for repeat suite runs."""
+    return jax.jit(fn)(*args)
+
+
 def settings_for(cam, **over):
     base = dict(image_height=H, image_width=W, tanfovx=cam["tanfovx"],
                 tanfovy=cam["tanfovy"], sh_degree=0, max_entries=2 ** 14,
@@ -39,16 +47,16 @@ class TestShardedRender:
         settings = settings_for(cam)
         mesh = make_device_mesh(*mesh_shape)
 
-        single = rasterize(
+        single = jrun(lambda: rasterize(
             settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-            features=g["features"])
-        rgb_s, feat_s, radii_s, final_s = rasterize_sharded(
+            features=g["features"]))
+        rgb_s, feat_s, radii_s, final_s = jrun(lambda: rasterize_sharded(
             mesh, settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-            features=g["features"])
+            features=g["features"]))
         np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(single.rgb), atol=1e-5)
         np.testing.assert_allclose(np.asarray(feat_s), np.asarray(single.feature_map), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(radii_s), np.asarray(single.radii))
@@ -61,16 +69,16 @@ class TestShardedRender:
         mesh = make_device_mesh(1, 8)
         qw = jnp.asarray(rng.uniform(0, 1, (n, 12)).astype(np.float32))
         qi = jnp.asarray(rng.integers(0, 192, (n, 12)).astype(np.float32))
-        single = rasterize(
+        single = jrun(lambda: rasterize(
             settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-            quick_weights=qw, quick_indices=qi, quick_channels=192)
-        _, feat_s, _, _ = rasterize_sharded(
+            quick_weights=qw, quick_indices=qi, quick_channels=192))
+        _, feat_s, _, _ = jrun(lambda: rasterize_sharded(
             mesh, settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-            quick_weights=qw, quick_indices=qi, quick_channels=192)
+            quick_weights=qw, quick_indices=qi, quick_channels=192))
         np.testing.assert_allclose(
             np.asarray(feat_s), np.asarray(single.feature_map), atol=1e-5)
 
@@ -115,7 +123,7 @@ class TestShardedTraining:
             return L.cos_loss(feat * mask, gt_feat * mask)
 
         params = feature_params(model)
-        loss_ref, grads_ref = jax.value_and_grad(unsharded_loss)(params)
+        loss_ref, grads_ref = jrun(jax.value_and_grad(unsharded_loss), params)
 
         mesh = make_device_mesh(*mesh_shape)
         B = mesh.shape["data"]
@@ -142,9 +150,9 @@ class TestShardedTraining:
         np.testing.assert_allclose(float(met["loss"]), float(loss_ref), rtol=1e-5)
 
         sharded_loss = sh.make_sharded_feature_loss(mesh, settings, topk=4)
-        grads_sh = jax.grad(sharded_loss)(
-            params, model, views, projs, camposs, jnp.zeros(3),
-            gt_feats, gt_masks)
+        grads_sh = jrun(lambda p: jax.grad(sharded_loss)(
+            p, model, views, projs, camposs, jnp.zeros(3),
+            gt_feats, gt_masks), params)
         for k in grads_ref:
             a, b = np.asarray(grads_sh[k]), np.asarray(grads_ref[k])
             scale = np.abs(b).max() + 1e-12
@@ -179,7 +187,7 @@ class TestShardedTraining:
                                  table_d, seg_d, 0)
 
         params = feature_params(model)
-        loss_ref, grads_ref = jax.value_and_grad(unsharded_loss)(params)
+        loss_ref, grads_ref = jrun(jax.value_and_grad(unsharded_loss), params)
 
         mesh = make_device_mesh(*mesh_shape)
         B = mesh.shape["data"]
@@ -190,8 +198,9 @@ class TestShardedTraining:
         segs = jnp.tile(seg_d[None], (B, 1, 1))
 
         sharded_loss = sh.make_sharded_gram_loss(mesh, settings, topk=4)
-        loss_sh, grads_sh = jax.value_and_grad(sharded_loss)(
-            params, model, views, projs, camposs, jnp.zeros(3), tables, segs)
+        loss_sh, grads_sh = jrun(lambda p: jax.value_and_grad(sharded_loss)(
+            p, model, views, projs, camposs, jnp.zeros(3), tables, segs),
+            params)
         np.testing.assert_allclose(float(loss_sh), float(loss_ref),
                                    rtol=1e-5)
         for k in grads_ref:
@@ -251,20 +260,21 @@ class TestGaussSharded:
         g = random_gaussians(rng, n)
         cam = make_camera(H, W)
         settings = settings_for(cam, max_entries=2 ** 13)
-        single = rasterize(
+        single = jrun(lambda: rasterize(
             settings._replace(impl="pallas", binning="sort"),
             g["means3d"], g["opacities"], cam["viewmatrix"],
             cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"],
             colors_precomp=jnp.asarray(
-                np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32))
+                np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32)))
         cols = jnp.asarray(
             np.random.default_rng(0).uniform(0, 1, (n, 3)), jnp.float32)
-        rgb, feat, final_t, total, dropped, _radii = rasterize_gauss_sharded(
-            self._mesh(), settings, g["means3d"], g["opacities"],
-            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
-            jnp.zeros(3), scales=g["scales"], rotations=g["rotations"],
-            colors_precomp=cols, pair_capacity=2048)
+        rgb, feat, final_t, total, dropped, _radii = jrun(
+            lambda: rasterize_gauss_sharded(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), scales=g["scales"], rotations=g["rotations"],
+                colors_precomp=cols, pair_capacity=2048))
         assert int(dropped) == 0
         np.testing.assert_allclose(np.asarray(rgb), np.asarray(single.rgb),
                                    atol=2e-5)
@@ -289,18 +299,19 @@ class TestGaussSharded:
         cols = jnp.asarray(r2.uniform(0, 1, (n, 3)), jnp.float32)
         common = dict(scales=g["scales"], rotations=g["rotations"],
                       colors_precomp=cols)
-        single = rasterize(
+        single = jrun(lambda: rasterize(
             settings._replace(impl="pallas", binning="sort"),
             g["means3d"], g["opacities"], cam["viewmatrix"],
             cam["projmatrix"], cam["campos"], jnp.zeros(3),
             quick_weights=jnp.asarray(qw), quick_indices=jnp.asarray(qi),
-            quick_channels=L_ * K_, **common)
-        rgb, feat, final_t, total, dropped, _radii = rasterize_gauss_sharded(
-            self._mesh(), settings, g["means3d"], g["opacities"],
-            cam["viewmatrix"], cam["projmatrix"], cam["campos"],
-            jnp.zeros(3), quick_weights=jnp.asarray(qw),
-            quick_indices=jnp.asarray(qi), quick_channels=L_ * K_,
-            pair_capacity=2048, **common)
+            quick_channels=L_ * K_, **common))
+        rgb, feat, final_t, total, dropped, _radii = jrun(
+            lambda: rasterize_gauss_sharded(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), quick_weights=jnp.asarray(qw),
+                quick_indices=jnp.asarray(qi), quick_channels=L_ * K_,
+                pair_capacity=2048, **common))
         assert int(dropped) == 0
         np.testing.assert_allclose(np.asarray(feat),
                                    np.asarray(single.feature_map), atol=2e-5)
@@ -314,11 +325,11 @@ class TestGaussSharded:
         settings = settings_for(cam, max_entries=2 ** 13)
         # Huge splats: every gaussian touches every tile, so each (src, dst)
         # pair gets ~n/8 * tiles_per entries >> 128.
-        *_, dropped, _radii = rasterize_gauss_sharded(
+        *_, dropped, _radii = jrun(lambda: rasterize_gauss_sharded(
             self._mesh(), settings, g["means3d"], g["opacities"],
             cam["viewmatrix"], cam["projmatrix"], cam["campos"],
             jnp.zeros(3), scales=jnp.full((n, 3), 1.0),
-            rotations=g["rotations"], pair_capacity=128)
+            rotations=g["rotations"], pair_capacity=128))
         assert int(dropped) > 0
 
     def test_in_shard_sh_and_facade_routing(self, rng):
@@ -329,17 +340,17 @@ class TestGaussSharded:
         g = random_gaussians(rng, n)
         cam = make_camera(H, W)
         settings = settings_for(cam, max_entries=2 ** 13)
-        single = rasterize(
+        single = jrun(lambda: rasterize(
             settings._replace(impl="pallas", binning="sort"),
             g["means3d"], g["opacities"], cam["viewmatrix"],
             cam["projmatrix"], cam["campos"], jnp.zeros(3),
-            scales=g["scales"], rotations=g["rotations"], shs=g["shs"])
-        out = rasterize(
+            scales=g["scales"], rotations=g["rotations"], shs=g["shs"]))
+        out = jrun(lambda: rasterize(
             settings._replace(binning="gauss", pair_capacity=2048),
             g["means3d"], g["opacities"], cam["viewmatrix"],
             cam["projmatrix"], cam["campos"], jnp.zeros(3),
             scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-            mesh=self._mesh())
+            mesh=self._mesh()))
         assert int(out.dropped_entries) == 0
         np.testing.assert_allclose(np.asarray(out.rgb),
                                    np.asarray(single.rgb), atol=2e-5)
@@ -383,8 +394,8 @@ class TestGaussSharded:
                 colors_precomp=cols, pair_capacity=2048, **common)
             return jnp.sum(feat * probe)
 
-        l1, d1 = jax.value_and_grad(loss_single)(jnp.asarray(qw))
-        l2, d2 = jax.value_and_grad(loss_sharded)(jnp.asarray(qw))
+        l1, d1 = jrun(jax.value_and_grad(loss_single), jnp.asarray(qw))
+        l2, d2 = jrun(jax.value_and_grad(loss_sharded), jnp.asarray(qw))
         np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
                                    atol=1e-4, rtol=1e-4)

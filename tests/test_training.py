@@ -283,6 +283,26 @@ class TestFeatureTraining:
         np.testing.assert_allclose(
             logs_bat.losses, logs_seq.losses, rtol=3e-5, atol=1e-6)
 
+    def test_cam_batch_capped_matches_accum(self, rng):
+        """--cam_batch composed with --tile_budget (budget-capped binning):
+        the batched capped step must reproduce the sequential accum capped
+        trajectory — the dense [T, cap] layout rides inside the per-camera
+        scan unchanged."""
+        model, cams = self._two_cam_feature_scene(rng)
+        opt = make_opt(include_feature=True)
+        kw = dict(lf_dir="", feature_level=1, iterations=5, topk=4,
+                  tile_cap=256, max_entries=2 ** 14, impl="pallas",
+                  tile_budget=1e-6, tile_budget_cap=128, seed=11)
+        m_seq, _, logs_seq = trainer.train_features(
+            model, cams, opt, accum_iter=2, feature_cache={}, **kw)
+        m_bat, _, logs_bat = trainer.train_features(
+            model, cams, opt, cam_batch=2, feature_cache={}, **kw)
+        np.testing.assert_allclose(
+            np.asarray(m_bat.language_logits),
+            np.asarray(m_seq.language_logits), rtol=0, atol=3e-5)
+        np.testing.assert_allclose(
+            logs_bat.losses, logs_seq.losses, rtol=3e-5, atol=1e-6)
+
     def test_gram_step_matches_pixel_step(self, rng):
         """The gram-space cosine step (compact GT on device) must produce
         the same loss and the same parameter update as the pixel-space step
