@@ -25,7 +25,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..utils import sh as sh_mod
-from ..utils.transforms import quat_to_rotmat, unstrip_symmetric
 from ..utils.camera_math import ndc_to_pixel
 
 BLOCK = 16  # tile side in pixels, matching the 16x16 CUDA thread-block tiles
@@ -75,14 +74,6 @@ def project_gaussians(
     focal_x = image_width / (2.0 * tanfovx)
     focal_y = image_height / (2.0 * tanfovy)
 
-    # 3D covariance.
-    if cov3d_precomp is not None:
-        cov3d = unstrip_symmetric(cov3d_precomp)
-    else:
-        R = quat_to_rotmat(rotations)
-        L = R * (scale_modifier * scales)[:, None, :]
-        cov3d = L @ jnp.swapaxes(L, -1, -2)
-
     # EWA: clamp the view-space point to the 1.3x focal plane before building J.
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
@@ -105,11 +96,49 @@ def project_gaussians(
     k2 = (-focal_y * ty / (tz * tz))[:, None]
     m0 = j0 * W[0][None, :] + j2 * W[2][None, :]      # [N, 3]
     m1 = k1 * W[1][None, :] + k2 * W[2][None, :]
-    sm0 = jnp.einsum("nij,nj->ni", cov3d, m0)
-    sm1 = jnp.einsum("nij,nj->ni", cov3d, m1)
-    a = jnp.sum(m0 * sm0, axis=-1) + 0.3
-    b = jnp.sum(m0 * sm1, axis=-1)
-    c = jnp.sum(m1 * sm1, axis=-1) + 0.3
+    if cov3d_precomp is not None:
+        # m . Sigma . m' from the 6 unique entries — no [N, 3, 3] tensor.
+        xx, xy_, xz, yy, yz, zz = [cov3d_precomp[:, i] for i in range(6)]
+
+        def quad(p, q):
+            return (p[:, 0] * q[:, 0] * xx + p[:, 1] * q[:, 1] * yy
+                    + p[:, 2] * q[:, 2] * zz
+                    + (p[:, 0] * q[:, 1] + p[:, 1] * q[:, 0]) * xy_
+                    + (p[:, 0] * q[:, 2] + p[:, 2] * q[:, 0]) * xz
+                    + (p[:, 1] * q[:, 2] + p[:, 2] * q[:, 1]) * yz)
+
+        a = quad(m0, m0) + 0.3
+        b = quad(m0, m1)
+        c = quad(m1, m1) + 0.3
+    else:
+        # Sigma = R diag(s^2) R^T contracted against m0/m1 in closed form:
+        # with u = R^T m0 and v = R^T m1 (per-axis [N] vectors from the
+        # quaternion polynomials), m.Sigma.m' = sum_k s_k^2 u_k v_k. Pure
+        # elementwise VPU math — the quat_to_rotmat / L@L^T formulation
+        # materializes three [N, 3, 3] HBM tensors and batched 3x3 matmuls
+        # whose layouts XLA pads badly on TPU (measured: preprocess was the
+        # second-largest exact-frame stage at 1M gaussians).
+        qn = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+        r, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+        R00 = 1 - 2 * (y * y + z * z)
+        R01 = 2 * (x * y - r * z)
+        R02 = 2 * (x * z + r * y)
+        R10 = 2 * (x * y + r * z)
+        R11 = 1 - 2 * (x * x + z * z)
+        R12 = 2 * (y * z - r * x)
+        R20 = 2 * (x * z - r * y)
+        R21 = 2 * (y * z + r * x)
+        R22 = 1 - 2 * (x * x + y * y)
+        s2 = jnp.square(scale_modifier * scales)  # [N, 3]
+        u0 = m0[:, 0] * R00 + m0[:, 1] * R10 + m0[:, 2] * R20
+        u1 = m0[:, 0] * R01 + m0[:, 1] * R11 + m0[:, 2] * R21
+        u2 = m0[:, 0] * R02 + m0[:, 1] * R12 + m0[:, 2] * R22
+        v0 = m1[:, 0] * R00 + m1[:, 1] * R10 + m1[:, 2] * R20
+        v1 = m1[:, 0] * R01 + m1[:, 1] * R11 + m1[:, 2] * R21
+        v2 = m1[:, 0] * R02 + m1[:, 1] * R12 + m1[:, 2] * R22
+        a = s2[:, 0] * u0 * u0 + s2[:, 1] * u1 * u1 + s2[:, 2] * u2 * u2 + 0.3
+        b = s2[:, 0] * u0 * v0 + s2[:, 1] * u1 * v1 + s2[:, 2] * u2 * v2
+        c = s2[:, 0] * v0 * v0 + s2[:, 1] * v1 * v1 + s2[:, 2] * v2 * v2 + 0.3
     det = a * c - b * b
     det_ok = det != 0.0
     inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
