@@ -739,6 +739,7 @@ def train_features(
     max_entries: int = 2 ** 21,
     accum_iter: int = 1,
     cam_batch: int = 1,
+    align_iterations=(),
     tile_budget: float = 0.0,
     tile_budget_cap: int = 128,
     tile_budget_subdiv: int = 2,
@@ -754,6 +755,13 @@ def train_features(
     step in Gram loss space: compact GT (segment table + seg map) goes to
     device instead of the decoded [512, H, W] map, cutting per-step GT
     transfer ~400x. l1/normalize configurations use the pixel-space step.
+
+    `cam_batch > 1` (gram config only) renders groups of cameras in one
+    jitted step with accumulation semantics; `align_iterations` lists
+    iterations whose on_iteration callback persists or evaluates state
+    (checkpoints, test evals) — in cam_batch mode those become group
+    boundaries, because mid-group callbacks observe the group-end state
+    (the sequential paths ignore it).
 
     `feature_cache` maps camera.image_name -> GT arrays to avoid re-loading
     npys every epoch; pass {} to enable caching."""
@@ -785,12 +793,12 @@ def train_features(
         return (camera.image_height, camera.image_width,
                 round(camera.tanfovx, 9), round(camera.tanfovy, 9))
 
-    def get_step(camera, sig):
+    def get_step(camera, sig, batched=False):
         # Budget-capped mode (tile_budget > 0) replaces the live-prefix
         # clamp entirely — the dense [T, cap] layout is fixed-size, so
         # the adaptive budget machinery never rebuilds the step.
         live = 0 if tile_budget > 0.0 else live_budget.get(sig, 0)
-        key = sig + (live,)
+        key = sig + (live, batched)
         if key not in step_cache:
             settings = make_settings(camera, model.active_sh_degree, 1.0,
                                      max_entries, tile_cap, tile_batch=16,
@@ -798,10 +806,20 @@ def train_features(
                                      tile_budget=tile_budget,
                                      tile_budget_cap=tile_budget_cap,
                                      tile_budget_subdiv=tile_budget_subdiv)
-            step_cache[key] = make_feature_train_step(
-                settings, optimizer, topk, use_cos_loss, use_l1_loss,
-                normalize, accum_iter, loss_space=loss_space)
+            if batched:
+                step_cache[key] = make_feature_train_step_batched(
+                    settings, optimizer, topk, loss_space="gram")
+            else:
+                step_cache[key] = make_feature_train_step(
+                    settings, optimizer, topk, use_cos_loss, use_l1_loss,
+                    normalize, accum_iter, loss_space=loss_space)
         return step_cache[key]
+
+    def curriculum_layer(it):
+        # Layer curriculum (reference train.py:155-156) — shared by the
+        # sequential and camera-batched loops so the schedule can never
+        # diverge between them.
+        return min(int(it / 10000 * layer_num), layer_num - 1)
 
     def get_gt(cam):
         if feature_cache is not None and cam.image_name in feature_cache:
@@ -826,32 +844,32 @@ def train_features(
         # gradient-accumulation semantics with the top-k weights forward/
         # backward and Adam amortized across the group
         # (make_feature_train_step_batched). Opt-in via --cam_batch.
-        assert gram, "cam_batch > 1 requires the gram (cosine-only) config"
-        assert accum_iter == 1, \
-            "cam_batch already accumulates; combine with accum_iter is unsupported"
+        #
+        # Group boundaries are phase-aligned to ABSOLUTE multiples of
+        # cam_batch (groups end at iteration % cam_batch == 0, like
+        # accum_iter's update cadence), and additionally split at
+        # curriculum layer changes (layer_idx is jit-static; accum_iter
+        # would mix the two layers' gradients into one update there —
+        # the only cadence divergence, by at most one group) and at
+        # `align_iterations` (checkpoint/test marks): mid-group
+        # on_iteration callbacks observe the GROUP-END model/opt_state,
+        # so any iteration whose callback persists or evaluates state
+        # must be a group end. After a split group the next group
+        # re-aligns to the absolute phase.
+        if not gram:
+            raise ValueError(
+                "cam_batch > 1 requires the gram (cosine-only) config "
+                "(--cos_loss without --l1_loss/--normalize)")
+        if accum_iter != 1:
+            raise ValueError(
+                "cam_batch already accumulates; combining with accum_iter "
+                "is unsupported")
         sigs = {cam_sig(c) for c in cameras}
         if len(sigs) != 1:
             raise ValueError(
                 "cam_batch > 1 needs one shared camera (H, W, fov) "
                 f"signature across the dataset; got {len(sigs)}")
-
-        def get_step_batched(camera, sig):
-            live = 0 if tile_budget > 0.0 else live_budget.get(sig, 0)
-            key = sig + (live, "batched")
-            if key not in step_cache:
-                settings = make_settings(
-                    camera, model.active_sh_degree, 1.0,
-                    max_entries, tile_cap, tile_batch=16,
-                    impl=impl, live_entries=live,
-                    tile_budget=tile_budget,
-                    tile_budget_cap=tile_budget_cap,
-                    tile_budget_subdiv=tile_budget_subdiv)
-                step_cache[key] = make_feature_train_step_batched(
-                    settings, optimizer, topk, loss_space="gram")
-            return step_cache[key]
-
-        def layer_of(it):
-            return min(int(it / 10000 * layer_num), layer_num - 1)
+        align = set(align_iterations or ())
 
         viewpoint_stack = []
         iteration = first_iter + 1
@@ -859,13 +877,15 @@ def train_features(
             if gui_source_path is not None:
                 _gui_poll(model, bg_color, iteration, iterations,
                           gui_source_path, max_entries, tile_cap)
-            layer_idx = layer_of(iteration)
-            # Group size: capped by cam_batch, the remaining iterations,
-            # and the current curriculum segment (layer_idx is jit-static,
-            # so a group never straddles a layer change).
+            layer_idx = curriculum_layer(iteration)
+            # Group size: up to the next absolute cam_batch boundary,
+            # clamped by the remaining iterations, the current curriculum
+            # segment, and any align mark inside the group.
+            g_max = cam_batch - ((iteration - 1) % cam_batch)
             g = 1
-            while (g < cam_batch and iteration + g <= iterations
-                   and layer_of(iteration + g) == layer_idx):
+            while (g < g_max and iteration + g <= iterations
+                   and curriculum_layer(iteration + g) == layer_idx
+                   and (iteration + g - 1) not in align):
                 g += 1
             cams = []
             for _ in range(g):
@@ -891,7 +911,7 @@ def train_features(
             group_end = iteration + g - 1
             do_update = jnp.asarray(group_end < iterations)
             while True:
-                step = get_step_batched(cams[0], sig)
+                step = get_step(cams[0], sig, batched=True)
                 prev = (model, opt_state)
                 model, opt_state, metrics = step(
                     model, opt_state, views, projs, camposs, bg,
@@ -909,6 +929,12 @@ def train_features(
                 # group: grow and redo the whole group pre-update.
                 model, opt_state = prev
                 live_budget[sig] = _grow_budget(lt)
+            if gui_source_path is not None:
+                # Second poll per group: a group spans up to cam_batch
+                # iterations of wall time, so poll after the step too to
+                # keep viewer latency within half a group.
+                _gui_poll(model, bg_color, iteration + g - 1, iterations,
+                          gui_source_path, max_entries, tile_cap)
             losses_b = np.asarray(metrics["losses"])
             for j in range(g):
                 loss = float(losses_b[j])
@@ -929,8 +955,7 @@ def train_features(
         if not viewpoint_stack:
             viewpoint_stack = list(cameras)
         cam = viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1))
-        # Layer curriculum (train.py:155-156).
-        layer_idx = min(int(iteration / 10000 * layer_num), layer_num - 1)
+        layer_idx = curriculum_layer(iteration)
 
         sig = cam_sig(cam)
         view, proj, campos, bg = camera_arrays(cam, bg_color)

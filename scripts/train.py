@@ -247,6 +247,10 @@ def main():
             bg_color=bg, seed=args.seed, tile_cap=args.tile_cap,
             max_entries=args.max_entries, accum_iter=args.accum_iter,
             cam_batch=args.cam_batch,
+            align_iterations=(set(args.checkpoint_iterations)
+                              | set(args.save_iterations)
+                              | set(args.test_iterations)
+                              | {args.iterations}),
             tile_budget=args.tile_budget,
             tile_budget_cap=args.tile_budget_cap,
             tile_budget_subdiv=args.tile_budget_subdiv,
