@@ -42,8 +42,12 @@ def main():
     log("devices:", jax.devices())
 
     # LERF-like scale: ~1M gaussians after 30k RGB iters; 1080p frame.
-    N = 1_000_000
-    H, W = 1080, 1920
+    # LSV2_BENCH_N / LSV2_BENCH_H / LSV2_BENCH_W: flow-smoke overrides
+    # (CPU runs of the full bench path at toy scale); headline numbers are
+    # only valid at the defaults.
+    N = int(os.environ.get("LSV2_BENCH_N", 1_000_000))
+    H = int(os.environ.get("LSV2_BENCH_H", 1080))
+    W = int(os.environ.get("LSV2_BENCH_W", 1920))
     L, K, TOPK = 3, 64, 4
     NPOS, NNEG = 1, 4
 
@@ -127,7 +131,9 @@ def main():
     settings0 = RasterizeSettings(
         image_height=H, image_width=W,
         tanfovx=math.tan(fovx / 2), tanfovy=math.tan(fovy / 2),
-        sh_degree=0, max_entries=5_300_000, impl="pallas",
+        sh_degree=0,
+        max_entries=int(os.environ.get("LSV2_BENCH_BUDGET", 5_300_000)),
+        impl="pallas",
         binning="sort", precision="bf16", assemble=False,
         # A/B knob for the bf16 VPU cell math (see profile_vpu_bf16.py);
         # flips the whole bench, including the headline scan.
@@ -151,7 +157,8 @@ def main():
     # Adaptive tight budgets: pay one recompile for an expand/sort sized to
     # the pre-cull total and a gather/blend sized to the post-cull LIVE
     # prefix (+7% headroom each, checked against overflow below).
-    budget = min(-(-int(tot * 1.07) // 4096) * 4096, 5_300_000)
+    budget = min(-(-int(tot * 1.07) // 4096) * 4096,
+                 settings0.max_entries)
     live_budget = min(-(-int(live * 1.07) // 4096) * 4096, budget)
     t0 = time.time()
     settings = settings0._replace(max_entries=budget,
