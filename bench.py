@@ -328,8 +328,12 @@ def main():
     # number; the headline stays the exact path.
     fps_capped = 0.0
     try:
-        tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-8"))
-        tcap = int(os.environ.get("LSV2_TILE_CAP", "256"))
+        # Defaults match the quality-validated serving config: budget 1e-6
+        # / cap 128 is what serve.backend ships and what the eval-metric
+        # pin validates (relevancy-mask IoU vs exact >= 0.95,
+        # tests/test_pallas_kernels.py::test_capped_relevancy_iou).
+        tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-6"))
+        tcap = int(os.environ.get("LSV2_TILE_CAP", "128"))
         tsub = int(os.environ.get("LSV2_TILE_SUBDIV", "2"))
         frame_capped = make_frame(settings._replace(
             tile_budget=tb, tile_budget_cap=tcap,
