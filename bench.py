@@ -22,6 +22,7 @@ fetch per measurement (block_until_ready under-reports on this backend).
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -34,7 +35,58 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(max_wait=900.0, probe_timeout=180.0):
+    """Block (bounded) until the JAX backend answers, or return None.
+
+    The axon TPU tunnel drops for whole sessions; when it is down,
+    jax.devices() either raises UNAVAILABLE or HANGS indefinitely — an
+    in-process call has no timeout path, which is how BENCH_r03 recorded
+    0.0 FPS. Probe in a short-lived subprocess under `timeout` semantics
+    and retry until the window opens or the wait budget is spent.
+    Returns the platform string ('axon'/'tpu'/'cpu') on success.
+    """
+    explicit = os.environ.get("JAX_PLATFORMS", "")
+    if explicit and "cpu" in explicit.lower():
+        return "cpu"  # flow-smoke runs: nothing to wait for
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                plat = r.stdout.strip().splitlines()[-1]
+                log(f"backend '{plat}' up (probe {attempt}, "
+                    f"{time.time() - t0:.0f}s)")
+                return plat
+            err = (r.stderr or "").strip().splitlines()
+            log(f"backend probe {attempt} failed in {time.time() - t0:.0f}s:"
+                f" {err[-1][:120] if err else 'no output'}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe {attempt} hung (>{probe_timeout:.0f}s); "
+                "tunnel down")
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            log(f"backend never came up within {max_wait:.0f}s wait budget")
+            return None
+        pause = min(60.0, remaining)
+        log(f"retrying in {pause:.0f}s ({remaining:.0f}s of wait budget "
+            "left)")
+        time.sleep(pause)
+
+
 def main():
+    plat = wait_for_backend(
+        max_wait=float(os.environ.get("LSV2_BENCH_WAIT", "900")))
+    if plat is None:
+        raise RuntimeError(
+            "TPU backend unavailable after bounded wait "
+            "(tunnel down; probes hung or errored — see stderr)")
+
     import jax
     import jax.numpy as jnp
     from langsplatv2_tpu.ops.rasterize import RasterizeSettings, rasterize
