@@ -557,16 +557,25 @@ def budget_counts(lm_sorted, tile_start, tile_count, t_budget: float):
     if lm_sorted.ndim == 1:
         lm_sorted = lm_sorted[:, None]
     e = lm_sorted.shape[0]
-    s = jnp.cumsum(lm_sorted, axis=0)               # [E, Q] inclusive
-    logb = float(np.log(t_budget))
+    # lm values are exact u8-quantized multiples of LM_QSTEP
+    # (pack_lm_words -> unpack_lm_words), so accumulate the integer quanta
+    # in int32 — EXACT, deterministic cutoffs. A global f32 running sum
+    # reaches 1e5-1e7 at bench scale, where its absolute rounding error
+    # (~0.5-4) rivals the |log budget| ~ 14 comparison window and drifts
+    # late tiles' cutoffs by a few entries.
+    assert e * 255 < 2 ** 31, "int32 quanta cumsum overflows above ~8.4M"
+    q = jnp.round(lm_sorted * (-1.0 / LM_QSTEP)).astype(jnp.int32)
+    s = jnp.cumsum(q, axis=0)                       # [E, Q] inclusive
+    # Keep while sum(lm) >= log(budget)  <=>  sum(quanta) <= qbudget.
+    qbudget = jnp.int32(np.floor(-np.log(t_budget) / LM_QSTEP))
     # base = s[start-1] (0 for start == 0): [T, Q]-sized gather, cheap.
     base = jnp.where(
-        (tile_start > 0)[:, None], s[jnp.maximum(tile_start - 1, 0)], 0.0)
-    target = base + logb
-    # Entry j>=1 kept iff any_q s[start+j-1, q] >= target_q; each s[:, q]
-    # is non-increasing on the segment, so the OR is too and kept = first
-    # crossing + 1. Binary search per tile, vectorized ([T, Q] gathers
-    # per step).
+        (tile_start > 0)[:, None], s[jnp.maximum(tile_start - 1, 0)], 0)
+    target = base + qbudget
+    # Entry j>=1 kept iff any_q s[start+j-1, q] <= target_q; each s[:, q]
+    # is non-decreasing on the segment, so the OR is non-increasing and
+    # kept = last satisfying index + 1. Binary search per tile, vectorized
+    # ([T, Q] gathers per step).
     lo = tile_start
     hi = tile_start + jnp.maximum(tile_count - 1, 0)
 
@@ -574,7 +583,7 @@ def budget_counts(lm_sorted, tile_start, tile_count, t_budget: float):
         lo, hi = state
         mid = (lo + hi) // 2
         v = s[jnp.minimum(mid, e - 1)]
-        go_right = jnp.any(v >= target, axis=1)
+        go_right = jnp.any(v <= target, axis=1)
         return (jnp.where(go_right, mid + 1, lo),
                 jnp.where(go_right, hi, mid))
 

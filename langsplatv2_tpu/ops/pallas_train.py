@@ -464,7 +464,13 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
             g_sorted, tile_start, tile_count, tile_sorted = (
                 pallas_binning.sorted_binning_from_keys(keys, num_tiles))
             expidx = None
-        live_total = jnp.sum(tile_count)
+        # The live-prefix clamp below only exists on the packed route;
+        # on the non-packed route settings.live_entries is a no-op, so
+        # report live_total = -1 there — a real count would send the
+        # trainer's adaptive-budget loop into a pointless rollback +
+        # step recompile when a viewpoint exceeds its stored budget.
+        live_total = (jnp.sum(tile_count) if packed
+                      else jnp.asarray(-1, jnp.int32))
         live = settings.live_entries
         if packed and 0 < live < settings.max_entries:
             # Live-prefix clamp (same contract as the serving path,

@@ -39,6 +39,22 @@ from ..ops import projection, rasterize_tiles, pallas_binning, pallas_blend
 from ..ops.rasterize import RasterizeSettings, _pallas_supported
 
 
+def _key_words(num_tiles: int, n_total: int) -> int:
+    """Sort-key words for the exchanged (tile|depth|gauss) key.
+
+    The 2-word layout holds the GLOBAL gaussian id in 20 bits of `lo`
+    (pack_sort_keys) — exceeding it would OR id bits into the depth
+    low-mantissa field and silently corrupt within-tile depth order, so
+    grids above 8190 tiles OR total N above 2^20 take the 3-word key."""
+    wide = num_tiles >= (1 << 13) - 1 or n_total > (1 << 20)
+    return 3 if wide else 2
+
+
+def _tile_of(k0, nk: int):
+    """Tile id from the first sorted key word, for either key layout."""
+    return (k0 >> 19).astype(jnp.int32) if nk == 2 else k0.astype(jnp.int32)
+
+
 def _expand_exchange(proj, ops, qw, qi, *, axis, C, n_loc, tiles_per,
                      num_tiles, grid_x, grid_y, local_budget, cap, interp,
                      quick):
@@ -50,6 +66,7 @@ def _expand_exchange(proj, ops, qw, qi, *, axis, C, n_loc, tiles_per,
     per-entry gradients back through the (self-transposed) all-to-all.
     """
     idx = lax.axis_index(axis)
+    nk = _key_words(num_tiles, C * n_loc)
     # NOTE: the jitted entry points must be called unwrapped inside
     # shard_map — a nested jit pins replicated output shardings that
     # conflict with the "gauss" specs.
@@ -58,11 +75,11 @@ def _expand_exchange(proj, ops, qw, qi, *, axis, C, n_loc, tiles_per,
             proj, grid_x, grid_y, local_budget, opacities=ops[:, 0],
             exact_cull=True, max_windows=None, interpret=interp))
     gauss_g = gauss_l + idx * n_loc          # global id: exact tie-break
-    hi, lo = pallas_binning.pack_sort_keys(tile, depth, gauss_g,
-                                           num_tiles)
+    keys = pallas_binning.pack_sort_keys(tile, depth, gauss_g, num_tiles,
+                                         force_wide=(nk == 3))
+    assert len(keys) == nk
     perm0 = jnp.arange(local_budget, dtype=jnp.uint32)
-    hi_s, lo_s, perm = lax.sort((hi, lo, perm0), num_keys=2,
-                                is_stable=True)
+    *keys_s, perm = lax.sort((*keys, perm0), num_keys=nk, is_stable=True)
     if quick:
         rows, wrows = pallas_blend.pack_quick_rows(
             proj.xy, proj.conic, ops[:, 0], proj.rgb, qw, qi)
@@ -77,7 +94,7 @@ def _expand_exchange(proj, ops, qw, qi, *, axis, C, n_loc, tiles_per,
     # Destination segments: entries are tile-sorted, and owners hold
     # contiguous tile strips, so chip d's slice is
     # [lower(d*tiles_per), lower((d+1)*tiles_per)).
-    tile_sorted = (hi_s >> 19).astype(jnp.int32)
+    tile_sorted = _tile_of(keys_s[0], nk)
     nb = max(1, int(np.ceil(np.log2(local_budget + 1))) + 1)
     dbounds = pallas_binning._vectorized_searchsorted_left(
         tile_sorted,
@@ -95,27 +112,28 @@ def _expand_exchange(proj, ops, qw, qi, *, axis, C, n_loc, tiles_per,
         jnp.minimum(dcount, cap)[:, None]
     flat_idx = jnp.minimum(send_idx, local_budget - 1).reshape(-1)
     bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
-    key_cols = jnp.stack([bc(hi_s), bc(lo_s)], axis=1)   # [budget, 2]
+    key_cols = jnp.stack([bc(k) for k in keys_s], axis=1)  # [budget, nk]
     payload = [ent_rows, key_cols] + ([ent_w] if quick else [])
     payload = jnp.concatenate(payload, axis=1)
     sendbuf = jnp.where(live.reshape(-1, 1), payload[flat_idx], 0.0)
-    # Dead rows: sentinel key sorts to the end on the receiver.
-    sent_hi = bc(jnp.full((1,), jnp.uint32(num_tiles) << 19))
+    # Dead rows: sentinel first key word sorts to the end on the receiver
+    # (the remaining key words are already zeroed by the live mask).
+    sent0 = jnp.uint32(num_tiles) << 19 if nk == 2 else jnp.uint32(num_tiles)
+    sent_k0 = bc(jnp.full((1,), sent0))
     sendbuf = sendbuf.at[:, 16].set(
-        jnp.where(live.reshape(-1), sendbuf[:, 16], sent_hi[0]))
+        jnp.where(live.reshape(-1), sendbuf[:, 16], sent_k0[0]))
     sendbuf = sendbuf.reshape(C, cap, -1)
 
     recv = lax.all_to_all(sendbuf, axis, split_axis=0, concat_axis=0)
     recv = recv.reshape(C * cap, -1)                     # [C*cap, Wp]
 
     ub = lambda a: lax.bitcast_convert_type(a, jnp.uint32)
-    hi2 = ub(recv[:, 16])
-    lo2 = ub(recv[:, 17])
+    keys2 = tuple(ub(recv[:, 16 + i]) for i in range(nk))
     perm0b = jnp.arange(C * cap, dtype=jnp.uint32)
-    hi2s, _, perm2 = lax.sort((hi2, lo2, perm0b), num_keys=2,
-                              is_stable=True)
+    *keys2_s, perm2 = lax.sort((*keys2, perm0b), num_keys=nk,
+                               is_stable=True)
     rows2 = recv[perm2.astype(jnp.int32)]
-    tile2 = (hi2s >> 19).astype(jnp.int32)
+    tile2 = _tile_of(keys2_s[0], nk)
 
     nb2 = max(1, int(np.ceil(np.log2(C * cap + 1))) + 1)
     t0 = idx * tiles_per
@@ -192,7 +210,9 @@ def rasterize_gauss_sharded(
 
         entry_geom = pallas_blend.to_field_major(rows2[:, :16], chunk)
         if quick:
-            entry_feat = pallas_blend.to_field_major(rows2[:, 18:34], chunk)
+            nk = _key_words(num_tiles, n)
+            entry_feat = pallas_blend.to_field_major(
+                rows2[:, 16 + nk:32 + nk], chunk)
             mode, out_ch, topk = "quick", quick_channels, qw.shape[1]
         else:
             entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
@@ -305,8 +325,10 @@ def rasterize_gauss_sharded_feature_train(
             opacities=ops[:, 0])
         (rows2, tile2, tile_start, tile_count, tile_ids, perm2, flat_idx,
          live, src_g, total_l, dropped_local) = ee(proj, ops, qw, qi)
+        nk = _key_words(num_tiles, n)
         entry_geom = pallas_blend.to_field_major(rows2[:, :16], chunk)
-        entry_feat = pallas_blend.to_field_major(rows2[:, 18:34], chunk)
+        entry_feat = pallas_blend.to_field_major(
+            rows2[:, 16 + nk:32 + nk], chunk)
         rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas.__wrapped__(
             entry_geom, entry_feat, tile_start, tile_count, tile_ids, bgc,
             grid_x=grid_x, grid_y=grid_y, mode="quick",

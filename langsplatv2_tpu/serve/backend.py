@@ -44,7 +44,7 @@ class BackendRenderer:
                  znear: float = 0.01, zfar: float = 100.0,
                  max_entries: int = 2 ** 21, tile_cap: int = 1024,
                  bf16_cells: bool = False,
-                 tile_budget: float = 0.0, tile_budget_cap: int = 256,
+                 tile_budget: float = 0.0, tile_budget_cap: int = 128,
                  tile_budget_subdiv: int = 2):
         self.model = model
         self.background = np.asarray(background, np.float32)

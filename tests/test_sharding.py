@@ -316,6 +316,47 @@ class TestGaussSharded:
         np.testing.assert_allclose(np.asarray(feat),
                                    np.asarray(single.feature_map), atol=2e-5)
 
+    def test_quick_matches_single_device_wide_keys(self, rng, monkeypatch):
+        """The 3-word exchanged key (>8190 tiles or global N > 2^20 — the
+        2-word layout would OR global-id bits into the depth mantissa) must
+        be pixel-exact too. Forced via _key_words at test scale."""
+        from langsplatv2_tpu.parallel import gauss_sharded
+        from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+
+        monkeypatch.setattr(gauss_sharded, "_key_words", lambda *a: 3)
+        n = 160
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 13)
+        r2 = np.random.default_rng(7)
+        L_, K_, TOPK = 3, 64, 4
+        qw = r2.uniform(0, 1, (n, L_ * TOPK)).astype(np.float32)
+        qw /= qw.sum(1, keepdims=True)
+        qi = np.concatenate(
+            [r2.integers(0, K_, (n, TOPK)) + l * K_ for l in range(L_)], 1
+        ).astype(np.float32)
+        cols = jnp.asarray(r2.uniform(0, 1, (n, 3)), jnp.float32)
+        common = dict(scales=g["scales"], rotations=g["rotations"],
+                      colors_precomp=cols)
+        single = jrun(lambda: rasterize(
+            settings._replace(impl="pallas", binning="sort"),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            quick_weights=jnp.asarray(qw), quick_indices=jnp.asarray(qi),
+            quick_channels=L_ * K_, **common))
+        rgb, feat, final_t, total, dropped, _radii = jrun(
+            lambda: rasterize_gauss_sharded(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), quick_weights=jnp.asarray(qw),
+                quick_indices=jnp.asarray(qi), quick_channels=L_ * K_,
+                pair_capacity=2048, **common))
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(feat),
+                                   np.asarray(single.feature_map), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(single.rgb),
+                                   atol=2e-5)
+
     def test_overflow_reported(self, rng):
         from langsplatv2_tpu.parallel import rasterize_gauss_sharded
 
