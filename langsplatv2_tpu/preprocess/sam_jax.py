@@ -175,6 +175,13 @@ def _apply_ln(x, prm, eps=1e-6):
     return (x - mu) / jnp.sqrt(var + eps) * prm["scale"] + prm["bias"]
 
 
+def _gelu(x):
+    # torch nn.GELU defaults to the exact erf formulation; jax.nn.gelu
+    # defaults to the tanh approximation (~3e-3 apart near |x|=2, which
+    # compounds over 32 encoder blocks) — pin exact for checkpoint parity.
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _apply_dense(x, prm):
     return x @ prm["w"] + prm["b"]
 
@@ -234,7 +241,7 @@ def _encoder_block(x, prm, heads, window, grid):
             x.reshape(1, g * g, -1), prm, heads, g, g).reshape(1, g, g, -1)
     x = shortcut + x
     y = _apply_ln(x, prm["ln2"])
-    y = _apply_dense(jax.nn.gelu(_apply_dense(y, prm["mlp1"])), prm["mlp2"])
+    y = _apply_dense(_gelu(_apply_dense(y, prm["mlp1"])), prm["mlp2"])
     return x + y
 
 
@@ -336,22 +343,24 @@ def decode_masks(cfg: SamConfig, params, image_embed: jnp.ndarray,
         # embeddings double as the query positional encoding; layer 0
         # skips the PE add and the self-attn residual
         # (skip_first_layer_pe=True in SAM's TwoWayTransformer).
+        # (transformer norms use torch nn.LayerNorm's default eps=1e-5;
+        # the ViT encoder and LayerNorm2d necks use 1e-6)
         if li == 0:
             q = _attn(q, q, q, lyr["self_attn"], heads)
         else:
             qpe = q + tokens
             q = q + _attn(qpe, qpe, q, lyr["self_attn"], heads)
-        q = _apply_ln(q, lyr["ln1"])
+        q = _apply_ln(q, lyr["ln1"], eps=1e-5)
         a = _attn(q + tokens, keys + pos_src, keys, lyr["cross_t2i"], heads)
-        q = _apply_ln(q + a, lyr["ln2"])
+        q = _apply_ln(q + a, lyr["ln2"], eps=1e-5)
         m = _apply_dense(jax.nn.relu(_apply_dense(q, lyr["mlp1"])),
                          lyr["mlp2"])
-        q = _apply_ln(q + m, lyr["ln3"])
+        q = _apply_ln(q + m, lyr["ln3"], eps=1e-5)
         a = _attn(keys + pos_src, q + tokens, q, lyr["cross_i2t"], heads)
-        keys = _apply_ln(keys + a, lyr["ln4"])
+        keys = _apply_ln(keys + a, lyr["ln4"], eps=1e-5)
 
     a = _attn(q + tokens, keys + pos_src, keys, dec["final_t2i"], heads)
-    q = _apply_ln(q + a, dec["ln_final"])
+    q = _apply_ln(q + a, dec["ln_final"], eps=1e-5)
 
     iou_out = q[:, 0]
     mask_toks = q[:, 1:1 + n_tok]                          # [B, 4, P]
@@ -361,11 +370,11 @@ def decode_masks(cfg: SamConfig, params, image_embed: jnp.ndarray,
     feat = jax.lax.conv_transpose(
         feat, dec["up0"], (2, 2), "VALID", transpose_kernel=True,
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dec["up0_b"]
-    feat = jax.nn.gelu(_apply_ln(feat, dec["up_ln"]))
+    feat = _gelu(_apply_ln(feat, dec["up_ln"]))
     feat = jax.lax.conv_transpose(
         feat, dec["up1"], (2, 2), "VALID", transpose_kernel=True,
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + dec["up1_b"]
-    feat = jax.nn.gelu(feat)                               # [B, 4G, 4G, P/8]
+    feat = _gelu(feat)                               # [B, 4G, 4G, P/8]
 
     hyper = jnp.stack([_mlp3(mask_toks[:, i], dec["hyper"][i])
                        for i in range(n_tok)], axis=1)     # [B, 4, P/8]
