@@ -387,6 +387,166 @@ def _build_sharded_loss(
     return sharded_loss
 
 
+def make_sharded_rgb_loss(mesh: Mesh, settings: RasterizeSettings,
+                          lambda_dssim: float):
+    """The differentiable sharded RGB loss (exposed for parity tests):
+    (params, dummy, model, views, projs, camposs, bg, gts) ->
+    (loss, (l1, radii [B, N]))."""
+    return _build_sharded_rgb_loss(mesh, settings, lambda_dssim)
+
+
+def make_sharded_rgb_train_step(mesh: Mesh, settings: RasterizeSettings,
+                                optimizer, lambda_dssim: float):
+    """RGB/geometry-phase training step: viewpoint DP over "data", pixel-tile
+    SP over "tile", per-Gaussian parameter gradients psum'd by the shard_map
+    transpose (SURVEY §2.4 row 4 — the reference trains geometry on ONE GPU,
+    train.py:169-258; this is the additive TPU scaling path).
+
+    Gaussians stay replicated; each tile shard blends its strip; the
+    rendered tiles are all-gathered (a [3, H, W] image is a few MB over ICI)
+    so the 11x11 SSIM window sees the full image — the gather's transpose
+    routes pixel cotangents back to the owning strip, and every
+    per-Gaussian gradient (xyz/scaling/rotation/opacity/SH, plus the
+    means2D NDC carrier the densification stats read) arrives as one psum.
+
+    Densification runs host-side between steps exactly like the single-chip
+    flow (train.trainer.run_densify): the model is one logical replicated
+    pytree, so capacity growth re-pads identically on every shard by
+    construction (a capacity change just triggers one new jit
+    specialization of this step).
+
+    Batched-stats contract (B = views.shape[0] cameras per step, divisible
+    by mesh.shape['data']): the loss is the camera MEAN (like the sharded
+    feature step); xyz_gradient_accum grows by the norm of the summed-
+    over-batch viewspace gradient for gaussians visible in >= 1 camera,
+    denom counts visible cameras, max_radii2d takes the batch max. At B=1
+    this reproduces the single-chip make_rgb_train_step exactly.
+
+    Returns jitted (model, opt_state, views [B,4,4], projs [B,4,4],
+    camposs [B,3], bg [3], gt_images [B,3,H,W]) -> (model, opt_state,
+    metrics).
+    """
+    from ..train.trainer import rgb_params
+
+    sharded_loss = _build_sharded_rgb_loss(mesh, settings, lambda_dssim)
+    n_data = mesh.shape["data"]
+
+    @jax.jit
+    def step(model, opt_state, views, projs, camposs, bg, gt_images):
+        assert views.shape[0] % n_data == 0, \
+            "camera batch must divide the data axis"
+        params = rgb_params(model)
+        dummy = jnp.zeros((model.capacity, 2), jnp.float32)
+
+        def loss_fn(params, dummy):
+            return sharded_loss(params, dummy, model, views, projs,
+                                camposs, bg, gt_images)
+
+        (loss, (l1, radii)), (grads, dummy_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, dummy)
+
+        # Dead (padding) rows must never move (same guard as the
+        # single-chip step: masked forwards can still leak NaN cotangents).
+        live = model.live
+        grads = {k: jnp.where(live.reshape((-1,) + (1,) * (g.ndim - 1)),
+                              g, 0.0)
+                 for k, g in grads.items()}
+        new_params, opt_state = optimizer.update(grads, opt_state, params)
+        model = model.replace(**new_params)
+
+        # Densification statistics (reference train.py:249-252), batched.
+        vis_b = radii > 0                                  # [B, N]
+        vis_any = vis_b.any(axis=0)
+        rad_max = radii.astype(jnp.float32).max(axis=0)
+        model = model.replace(
+            max_radii2d=jnp.where(
+                vis_any, jnp.maximum(model.max_radii2d, rad_max),
+                model.max_radii2d),
+            xyz_gradient_accum=model.xyz_gradient_accum + jnp.where(
+                vis_any[:, None],
+                jnp.linalg.norm(dummy_grad[:, :2], axis=-1, keepdims=True),
+                0.0),
+            denom=model.denom + vis_b.sum(axis=0).astype(jnp.float32)[:, None],
+        )
+        metrics = {"loss": loss, "l1": l1, "num_visible": vis_any.sum()}
+        return model, opt_state, metrics
+
+    return step
+
+
+def _build_sharded_rgb_loss(mesh: Mesh, settings: RasterizeSettings,
+                            lambda_dssim: float):
+    H, W = settings.image_height, settings.image_width
+    grid_x, grid_y = settings.grid_x, settings.grid_y
+    num_tiles = grid_x * grid_y
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    tile_ids_full = _padded_tile_ids(num_tiles, n_tile)
+    scale_vec = np.array([0.5 * W, 0.5 * H], np.float32)
+
+    def render_tiles_one(model: GaussianModel, dummy, view, proj_m, campos,
+                         bg, tile_ids_local):
+        proj = projection.preprocess(
+            model.xyz, model.get_scaling(), model.get_rotation(), None,
+            model.get_features(), None, view, proj_m, campos,
+            settings.tanfovx, settings.tanfovy, W, H,
+            model.active_sh_degree, settings.scale_modifier)
+        # NDC-scale viewspace gradient carrier (single-chip contract:
+        # ops/rasterize.py means2d_dummy) — value zero, gradient read by
+        # the densification stats.
+        xy = proj.xy + dummy * jnp.asarray(scale_vec)
+        binned = binning.bin_gaussians(proj, grid_x, grid_y,
+                                       settings.max_entries)
+        feats = jnp.zeros((model.xyz.shape[0], 0), jnp.float32)
+        rgb_t, _, _ = rasterize_tiles.blend_tiles(
+            xy, proj.conic, model.get_opacity()[:, 0], proj.rgb, feats,
+            binned, grid_x, grid_y, bg, settings.tile_cap,
+            settings.tile_batch, tile_ids=tile_ids_local)
+        return rgb_t, proj.radius
+
+    def sharded_loss(params, dummy, model, views, projs, camposs, bg, gts):
+        model = model.replace(**params)
+
+        def shard_fn(model, dummy, bg, views, projs, camposs, gts,
+                     tile_ids_local):
+            loss_sum = 0.0
+            l1_sum = 0.0
+            radii = []
+            B_local = views.shape[0]
+            for b in range(B_local):
+                rgb_t, radius = render_tiles_one(
+                    model, dummy, views[b], projs[b], camposs[b], bg,
+                    tile_ids_local)
+                # SSIM's 11x11 window crosses tile-strip borders: gather
+                # the full tile set (strips are contiguous in axis order)
+                # and compute the exact full-image loss on every shard.
+                full_t = jax.lax.all_gather(rgb_t, "tile", tiled=True)
+                rgb = rasterize_tiles.tiles_to_image(
+                    full_t[:num_tiles], grid_x, grid_y, H, W)
+                l1 = losses.l1_loss(rgb, gts[b])
+                loss_sum = loss_sum + (1.0 - lambda_dssim) * l1 + \
+                    lambda_dssim * (1.0 - losses.ssim(rgb, gts[b]))
+                l1_sum = l1_sum + l1
+                radii.append(radius)
+            # Every tile shard of a data row computes the identical
+            # full-image loss; dividing by n_tile makes the global psum the
+            # camera mean, and routes exactly one cotangent to each strip.
+            denom = B_local * n_data * n_tile
+            loss = jax.lax.psum(loss_sum / denom, ("data", "tile"))
+            l1m = jax.lax.psum(l1_sum / denom, ("data", "tile"))
+            return loss, (l1m, jnp.stack(radii))
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"),
+                      P("data"), P("tile")),
+            out_specs=(P(), (P(), P("data"))),
+            check_rep=False,
+        )(model, dummy, bg, views, projs, camposs, gts, tile_ids_full)
+
+    return sharded_loss
+
+
 def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
     """[C, H, W] -> [num_tiles, P, C], zero-padding to the tile grid."""
     B = projection.BLOCK
