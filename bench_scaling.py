@@ -129,15 +129,20 @@ def main():
     from jax.sharding import Mesh
     from langsplatv2_tpu.parallel import rasterize_gauss_sharded
 
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+    from langsplatv2_tpu.parallel.sharding import shard_map
+
     for c in [c for c in counts if c > 1 and N % c == 0]:
         mesh = Mesh(np.asarray(jax.devices()[:c]), ("gauss",))
+        cap = -(-ME // (c * max(c // 2, 1)) // 128) * 128
 
         @jax.jit
         def gframe(means, op, sc, rot, col):
             rgb, fmap, final_t, total, dropped, _radii = rasterize_gauss_sharded(
                 mesh, settings, means, op, view, proj, campos, bg,
                 scales=sc, rotations=rot, colors_precomp=col,
-                pair_capacity=-(-ME // (c * max(c // 2, 1)) // 128) * 128)
+                pair_capacity=cap)
             return rgb, dropped
 
         out = gframe(*args[:5])
@@ -148,12 +153,39 @@ def main():
             out = gframe(*args[:5])
         _ = float(jnp.asarray(out[0][0, 0, 0]))
         dt = (time.time() - t0) / n_frames
+
+        # Collective/compute split: time the binning exchange's
+        # lax.all_to_all ALONE at the exact payload the frame ships
+        # ([C, cap, 18] f32 per shard: 16 row fields + 2 key words) —
+        # collective_fraction = a2a time / whole-frame time. On a real
+        # slice this rides ICI; on the virtual CPU mesh it is a memcpy
+        # and only validates the program + payload sizing.
+        wp = 18
+        a2a = shard_map(
+            lambda b: lax.all_to_all(b, "gauss", split_axis=0,
+                                     concat_axis=0),
+            mesh=mesh, in_specs=(P("gauss"),), out_specs=P("gauss"),
+            check_rep=False)
+        a2a_j = jax.jit(a2a)
+        buf = jnp.ones((c * c, cap, wp), jnp.float32)
+        r = a2a_j(buf)
+        _ = float(jnp.asarray(r).ravel()[0])
+        t0 = time.time()
+        for _ in range(n_frames):
+            r = a2a_j(buf)
+        _ = float(jnp.asarray(r).ravel()[0])
+        a2a_dt = (time.time() - t0) / n_frames
+
         print(json.dumps({
             "metric": "gauss_sharded_render_rays_per_s",
             "devices": c,
             "value": round(H * W / dt / 1e6, 3),
             "unit": "Mrays/s",
             "dropped": int(out[1]),
+            "frame_ms": round(dt * 1e3, 2),
+            "a2a_ms": round(a2a_dt * 1e3, 3),
+            "a2a_bytes_per_chip": c * cap * wp * 4,
+            "collective_fraction": round(a2a_dt / dt, 4),
         }))
 
 

@@ -398,6 +398,85 @@ class TestGaussSharded:
         np.testing.assert_array_equal(np.asarray(out.radii),
                                       np.asarray(single.radii))
 
+    def test_pressure_near_overflow_telemetry_and_clamp(self, rng):
+        """Thousands of gaussians (512/shard) with pair_capacity stepped
+        across the overflow boundary: a generous capacity must be
+        pixel-exact with dropped == 0; a starved one must REPORT drops
+        while forward outputs and training gradients stay finite (the
+        clamp truncates each (src, dst) segment, never corrupts)."""
+        from langsplatv2_tpu.ops.pallas_train import rasterize_quick_train
+        from langsplatv2_tpu.parallel import rasterize_gauss_sharded
+        from langsplatv2_tpu.parallel.gauss_sharded import (
+            rasterize_gauss_sharded_feature_train)
+
+        n = 4096
+        g = random_gaussians(rng, n)
+        cam = make_camera(H, W)
+        settings = settings_for(cam, max_entries=2 ** 15, assemble=True)
+        r2 = np.random.default_rng(29)
+        K_, TOPK = 64, 4
+        qw = jnp.asarray(r2.uniform(0, 1, (n, TOPK)), jnp.float32)
+        qi = jnp.asarray(r2.integers(0, K_, (n, TOPK)), jnp.float32)
+        cols = jnp.asarray(r2.uniform(0, 1, (n, 3)), jnp.float32)
+        common = dict(scales=g["scales"], rotations=g["rotations"],
+                      colors_precomp=cols)
+
+        single = jrun(lambda: rasterize(
+            settings._replace(impl="pallas", binning="sort"),
+            g["means3d"], g["opacities"], cam["viewmatrix"],
+            cam["projmatrix"], cam["campos"], jnp.zeros(3),
+            quick_weights=qw, quick_indices=qi, quick_channels=K_,
+            **common))
+
+        def run_fwd(cap):
+            return jrun(lambda: rasterize_gauss_sharded(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), quick_weights=qw, quick_indices=qi,
+                quick_channels=K_, pair_capacity=cap, **common))
+
+        # Generous capacity: exact parity, zero drops.
+        rgb, feat, _, total, dropped, _ = run_fwd(2048)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(feat),
+                                   np.asarray(single.feature_map),
+                                   atol=2e-5)
+        # Starved capacity (128 slots per (src,dst) pair << the dense
+        # center tiles): telemetry must fire, outputs must stay finite.
+        rgb2, feat2, _, total2, dropped2, _ = run_fwd(128)
+        assert int(dropped2) > 0
+        assert int(total2) == int(total)  # pre-exchange totals unchanged
+        assert np.isfinite(np.asarray(rgb2)).all()
+        assert np.isfinite(np.asarray(feat2)).all()
+
+        # Training backward under overflow: gradients finite, and exact
+        # at a generous capacity.
+        probe = jnp.asarray(r2.standard_normal((K_, H, W)), jnp.float32)
+
+        def loss_sharded(qw_, cap):
+            _, f, *_ = rasterize_gauss_sharded_feature_train(
+                self._mesh(), settings, g["means3d"], g["opacities"],
+                cam["viewmatrix"], cam["projmatrix"], cam["campos"],
+                jnp.zeros(3), qw_, qi, K_, colors_precomp=cols,
+                pair_capacity=cap, **{k: common[k]
+                                      for k in ("scales", "rotations")})
+            return jnp.sum(f * probe)
+
+        def loss_single(qw_):
+            _, f, *_ = rasterize_quick_train(
+                settings._replace(impl="pallas", binning="sort"),
+                g["means3d"], g["opacities"], cam["viewmatrix"],
+                cam["projmatrix"], cam["campos"], jnp.zeros(3),
+                g["scales"], g["rotations"], None, cols, qw_, qi, K_)
+            return jnp.sum(f * probe)
+
+        d_ref = jrun(jax.grad(loss_single), qw)
+        d_ok = jrun(lambda q: jax.grad(loss_sharded)(q, 2048), qw)
+        np.testing.assert_allclose(np.asarray(d_ok), np.asarray(d_ref),
+                                   atol=1e-4, rtol=1e-4)
+        d_starved = jrun(lambda q: jax.grad(loss_sharded)(q, 128), qw)
+        assert np.isfinite(np.asarray(d_starved)).all()
+
     def test_feature_train_grads_match_single_device(self, rng):
         """d(quick_weights) through the exchange (replay on the tile owner,
         reverse all-to-all, scatter onto the Gaussian shard) must equal the
