@@ -79,7 +79,139 @@ def wait_for_backend(max_wait=900.0, probe_timeout=180.0):
         time.sleep(pause)
 
 
+HBM_GBPS = 819.0          # v5e HBM bandwidth
+MXU_BF16_TFLOPS = 394.0   # v5e bf16 peak
+
+
+def measure_stages(view, projm, eps, scene_args, H, W, budget, live,
+                   tanfovx, tanfovy):
+    """Stage-prefix scan timings of the exact fast16 frame at (H, W),
+    annotated with modeled HBM traffic -> achieved GB/s -> fraction of
+    the 819 GB/s roofline (the blend also gets an MXU-utilization
+    estimate). Mirrors scripts/profile_frame_stages.py, reduced to the
+    stages that carry the time."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from langsplatv2_tpu.ops import (pallas_binning, pallas_blend,
+                                     projection, rasterize_tiles)
+    from langsplatv2_tpu.ops.rasterize import _pallas_supported
+
+    interp = not _pallas_supported()
+
+    (means_d, op_d, sc_d, rot_d, col_d, qw_d, qi_d, phi_d, gram_d) = \
+        scene_args
+    n = means_d.shape[0]
+    gx, gy = -(-W // 16), -(-H // 16)
+    num_tiles = gx * gy
+    chunk = 256
+    L, CB = 3, 64
+    TOPK = qw_d.shape[1]
+    NPOS_NEG = phi_d.shape[2]
+    K = eps.shape[0]
+
+    def pipeline(stage, view_i, means, scales, rots, ops, cols, qw, qi,
+                 phi, gram):
+        proj = projection.preprocess(
+            means, scales, rots, None, None, cols, view_i, projm,
+            jnp.zeros(3), tanfovx, tanfovy, W, H, 0, 1.0,
+            opacities=ops[:, 0])
+        if stage == "preprocess":
+            return jnp.sum(proj.xy) + jnp.sum(proj.conic)
+        rows = pallas_blend.pack_fast16_rows(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb, qw, qi)
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
+            proj, gx, gy, budget, opacities=ops[:, 0], exact_cull=True,
+            interpret=interp)
+        if stage == "expand":
+            return jnp.sum(rows * rows) + jnp.sum(tile) + 1.0 * jnp.sum(gauss)
+        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
+        g_sorted, ts, tc, _ = pallas_binning.sorted_binning_from_keys(
+            keys, num_tiles)
+        if stage == "sort":
+            return jnp.sum(g_sorted) * 1.0 + jnp.sum(tc) * 1.0
+        gathered = rows[g_sorted]
+        if stage == "gather":
+            return jnp.sum(gathered * gathered)
+        eg = pallas_blend.to_field_major(gathered, chunk)
+        ef = jnp.zeros((1, eg.shape[1]), jnp.float32)
+        tid = jnp.arange(num_tiles, dtype=jnp.int32)
+        rgb_t, feat_t, t_t = pallas_blend.blend_tiles_pallas(
+            eg, ef, ts, tc, tid, jnp.zeros(3), grid_x=gx, grid_y=gy,
+            mode="quick", out_channels=L * CB, topk=TOPK, chunk=chunk,
+            rowfmt="fast16", banded=True, interpret=interp)
+        if stage == "blend":
+            return jnp.sum(rgb_t[:, 0, 0]) + jnp.sum(feat_t[:, 0, 0])
+        t, p, _ = feat_t.shape
+        wm = feat_t.reshape(t * p, L, CB).astype(jnp.bfloat16)
+        raw = jnp.einsum("qlk,lkp->lqp", wm, phi.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        wg = jnp.einsum("qlk,lkm->lqm", wm, gram.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        nrm2 = jnp.sum(wg * wm.transpose(1, 0, 2), axis=-1)
+        sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
+        return jnp.sum(rgb_t[:, 0, 0]) + jnp.sum(sim[:, 0, 0])
+
+    def run(stage):
+        @jax.jit
+        def scanned(view, eps, *scene):
+            def body(c, e):
+                return c + pipeline(stage, view.at[3, 0].add(e),
+                                    *scene), 0.0
+            c, _ = lax.scan(body, 0.0, eps)
+            return c
+
+        t0 = time.time()
+        _ = float(scanned(view, eps, *scene_args))
+        compile_t = time.time() - t0
+        t0 = time.time()
+        _ = float(scanned(view, eps, *scene_args))
+        dt = (time.time() - t0) / K * 1000
+        log(f"stage prefix {stage:10s} compile {compile_t:5.1f}s "
+            f"{dt:8.1f} ms")
+        return dt
+
+    order = ["preprocess", "expand", "sort", "gather", "blend", "query"]
+    prefix = {s: run(s) for s in order}
+    deltas, prev = {}, 0.0
+    for s in order:
+        deltas[s] = max(prefix[s] - prev, 0.0)
+        prev = prefix[s]
+
+    # Modeled HBM traffic per stage (bytes; see ROADMAP roofline): the
+    # fraction-of-roofline column is what says "actually fast" vs "stalled".
+    P = 256
+    tp = num_tiles * P
+    traffic = {
+        "preprocess": n * 96,                    # params in + proj fields out
+        "expand": n * 40 + budget * 24,          # rows pack + (t, d, g) out
+        "sort": budget * 8 * 12,                 # XLA multi-pass 2-op u32
+        "gather": live * 16 * 4 * 2,             # w16 rows read + write
+        "blend": live * 16 * 4 + tp * (3 + L * CB + 1) * 4,
+        "query": tp * L * CB * 2 + tp * L * NPOS_NEG * 4,
+    }
+    # Blend accumulate matmuls: [P, count] x [count, 192] per tile
+    # => 2 * P * live * 192 FLOPs (bf16).
+    blend_flops = 2.0 * P * live * (L * CB)
+    out = {"load": {"H": H, "W": W, "budget": budget, "live": live},
+           "stages": {}}
+    for s in order:
+        ms = deltas[s]
+        gbps = traffic[s] / (ms * 1e-3) / 1e9 if ms > 0 else 0.0
+        row = {"ms": round(ms, 2), "bytes_model": int(traffic[s]),
+               "gbps": round(gbps, 1),
+               "hbm_frac": round(gbps / HBM_GBPS, 4)}
+        if s == "blend" and ms > 0:
+            tf = blend_flops / (ms * 1e-3) / 1e12
+            row["mxu_tflops"] = round(tf, 2)
+            row["mxu_frac"] = round(tf / MXU_BF16_TFLOPS, 4)
+        out["stages"][s] = row
+    out["frame_ms_sum"] = round(sum(deltas.values()), 1)
+    return out
+
+
 def main():
+    t_start = time.time()
     plat = wait_for_backend(
         max_wait=float(os.environ.get("LSV2_BENCH_WAIT", "900")))
     if plat is None:
@@ -374,6 +506,30 @@ def main():
     log(f"reference-load (986x728) query path, on-device loop: "
         f"{fps_lerf:.2f} FPS")
 
+    # Per-stage attribution + roofline utilization (VERDICT round-3 #7):
+    # stage-prefix lax.scan timings at the REFERENCE load (986x728), each
+    # with modeled HBM traffic -> achieved GB/s -> fraction of the v5e's
+    # 819 GB/s, plus MXU utilization for the blend. Skipped past the
+    # deadline so a cold-compile day still lands the headline numbers.
+    stages_block = None
+    elapsed = time.time() - t_start
+    deadline = float(os.environ.get("LSV2_BENCH_STAGE_DEADLINE", "1500"))
+    if os.environ.get("LSV2_BENCH_STAGES", "1") == "0":
+        pass
+    elif elapsed > deadline:
+        log(f"skipping stage attribution: {elapsed:.0f}s elapsed > "
+            f"{deadline:.0f}s deadline (headline numbers landed first)")
+    else:
+        try:
+            stages_block = measure_stages(
+                view, lproj, jit_eps, scene_args,
+                lH, lW, lbudget, int(llive), math.tan(lfovx / 2),
+                math.tan(fovy / 2))
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            log("stage attribution failed; continuing")
+
     # Opt-in approximate mode: budget-capped regular binning
     # (settings.tile_budget) — the sorted-row gather and blend become
     # dense [T, cap] fetches; quality bound by the per-sub-box
@@ -382,10 +538,11 @@ def main():
     fps_capped = 0.0
     fps_capped_lerf = 0.0
     try:
-        # Defaults match the quality-validated serving config: budget 1e-6
-        # / cap 128 is what serve.backend ships and what the eval-metric
-        # pin validates (relevancy-mask IoU vs exact >= 0.95,
-        # tests/test_pallas_kernels.py::test_capped_relevancy_iou).
+        # Defaults match the quality-validated capped config (budget 1e-6 /
+        # cap 128): what the eval-metric pin validates (relevancy-mask IoU
+        # vs exact >= 0.95, test_capped_relevancy_iou) and what
+        # serve.backend uses when the opt-in mode is enabled (it ships
+        # tile_budget=0.0, i.e. exact, by default; cap defaults to 128).
         tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-6"))
         tcap = int(os.environ.get("LSV2_TILE_CAP", "128"))
         tsub = int(os.environ.get("LSV2_TILE_SUBDIV", "2"))
@@ -451,7 +608,86 @@ def main():
         traceback.print_exc(file=sys.stderr)
         log("capped-mode bench failed; continuing with exact numbers")
 
-    print(json.dumps({
+    # Serve-loop FPS (VERDICT round-3 #8): the real BackendRenderer
+    # dispatch/finalize seam at the reference load — device-composited u8
+    # heatmap frames + host JPEG encode, synchronous (REQ/REP semantics)
+    # vs depth-2 double-buffered (run_pipelined semantics, frame N+1's
+    # dispatch overlapping frame N's device compute + readback).
+    serve_sync_fps = serve_pipe_fps = 0.0
+    elapsed = time.time() - t_start
+    serve_deadline = float(os.environ.get("LSV2_BENCH_SERVE_DEADLINE",
+                                          "2700"))
+    if os.environ.get("LSV2_BENCH_SERVE", "1") == "0":
+        pass
+    elif elapsed > serve_deadline:
+        log(f"skipping serve-loop bench: {elapsed:.0f}s elapsed > "
+            f"{serve_deadline:.0f}s deadline")
+    else:
+        try:
+            import cv2  # noqa: F401  (JPEG encode availability)
+            from langsplatv2_tpu.models.gaussians import GaussianModel
+            from langsplatv2_tpu.serve.backend import BackendRenderer
+            from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
+
+            C0 = 0.28209479177387814
+            model = GaussianModel(
+                xyz=means_d,
+                features_dc=((col_d - 0.5) / C0)[:, None, :],
+                features_rest=jnp.zeros((N, 0, 3), jnp.float32),
+                scaling=jnp.log(sc_d),
+                rotation=rot_d,
+                opacity=jnp.log(op_d / (1.0 - op_d)),
+                live=jnp.ones((N,), bool),
+                quick_weights=qw_d, quick_indices=qi_d, codebooks=cb_d,
+                active_sh_degree=0, max_sh_degree=0)
+            backend = BackendRenderer(
+                model, clip_model=OpenCLIPNetwork(backend="hash"),
+                max_entries=lbudget, compose="device")
+            c2w0 = np.linalg.inv(np.asarray(w2c))
+
+            def req_at(i):
+                c2w = c2w0.copy()
+                c2w[0, 3] += 1e-6 * i
+                return {"c2w": c2w.tolist(), "width": lW, "height": lH,
+                        "fov_y": fovy, "prompt": "object",
+                        "show_heatmap": True, "threshold": -10.0}
+
+            t0 = time.time()
+            img = backend.finalize_frame(
+                backend.dispatch_request(req_at(0)), as_uint8=True)
+            _ = backend._encode_jpeg(img)
+            log(f"serve compile+first frame: {time.time() - t0:.1f}s")
+
+            NS = 12
+            t0 = time.time()
+            for i in range(NS):
+                img = backend.finalize_frame(
+                    backend.dispatch_request(req_at(i + 1)), as_uint8=True)
+                backend._encode_jpeg(img)
+            serve_sync_fps = NS / (time.time() - t0)
+            log(f"serve loop (synchronous, 986x728 heatmap+jpeg): "
+                f"{serve_sync_fps:.2f} FPS")
+
+            from collections import deque
+            q = deque()
+            t0 = time.time()
+            for i in range(NS):
+                q.append(backend.dispatch_request(req_at(100 + i)))
+                if len(q) >= 2:
+                    backend._encode_jpeg(backend.finalize_frame(
+                        q.popleft(), as_uint8=True))
+            while q:
+                backend._encode_jpeg(backend.finalize_frame(
+                    q.popleft(), as_uint8=True))
+            serve_pipe_fps = NS / (time.time() - t0)
+            log(f"serve loop (depth-2 pipelined, 986x728 heatmap+jpeg): "
+                f"{serve_pipe_fps:.2f} FPS")
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            log("serve-loop bench failed; continuing")
+
+    result = {
         "metric": "language_feature_render_fps_1080p",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -461,7 +697,12 @@ def main():
         "capped_mode_fps": round(fps_capped, 2),
         "capped_728p_fps": round(fps_capped_lerf, 2),
         "entries": tot,
-    }))
+        "serve_sync_fps": round(serve_sync_fps, 2),
+        "serve_pipelined_fps": round(serve_pipe_fps, 2),
+    }
+    if stages_block is not None:
+        result["stages_728p"] = stages_block
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Interactive render server (ZMQ REP).
+"""Interactive render server (ZMQ REP, optional pipelined ROUTER).
 
 Parity target: reference `backend_renderer.py` — the same JSON request
 protocol on :5555 ({c2w, width, height, fov_y, prompt, threshold,
@@ -7,21 +7,29 @@ show_heatmap} -> JPEG bytes), the same merged quick-render model, the same
 clip[0,1]) with the raw-max threshold / tiny-range suppression, and the same
 JET 50/50 blend.
 
-TPU shape: the render path is one jitted function per (width, height)
-request geometry; camera construction happens host-side.
+TPU shape: one jitted function per (request geometry, heatmap, compose)
+computes the WHOLE frame on device — quick render, Gram-trick similarity,
+and (compose="device") the normalization + JET colormap + 50/50 blend +
+uint8 quantization — so a frame is ONE dispatch and the readback is
+H*W*3 bytes instead of two f32 maps. Dispatch and finalize are split
+(`dispatch_request` / `finalize_frame`) so a serving loop can overlap
+frame N+1's dispatch with frame N's device compute + readback
+(`run_pipelined`, a ROUTER socket holding up to `depth` requests in
+flight; the REP `run` keeps exact reference protocol semantics).
 """
 from __future__ import annotations
 
 import json
 import math
 import traceback
+from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 
 from ..models.gaussians import GaussianModel
 from ..models.renderer import render
 from ..ops.rasterize import RasterizeSettings
-from ..eval.lerf import render_language_feature_map_quick
 from ..eval.openclip import OpenCLIPNetwork
 
 
@@ -34,8 +42,34 @@ def apply_langsplat_normalization(similarity: np.ndarray) -> np.ndarray:
     return np.clip(similarity, 0, 1)
 
 
+def jet_colormap(x):
+    """Classic analytic JET ramp on device (x in [0,1] -> [..., 3] RGB).
+
+    Matches cv2.COLORMAP_JET's piecewise-linear ramp to within LUT
+    quantization (cv2 tabulates the same function at 256 points); used by
+    the compose="device" path where the colormap must run in-jit.
+    """
+    import jax.numpy as jnp
+
+    v = jnp.clip(x, 0.0, 1.0)
+    r = jnp.clip(1.5 - jnp.abs(4.0 * v - 3.0), 0.0, 1.0)
+    g = jnp.clip(1.5 - jnp.abs(4.0 * v - 2.0), 0.0, 1.0)
+    b = jnp.clip(1.5 - jnp.abs(4.0 * v - 1.0), 0.0, 1.0)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@dataclass
+class PendingFrame:
+    """A dispatched (not yet read back) frame: device arrays + host meta."""
+    rgb: Any                      # [H, W, 3] f32 device (or u8 composited)
+    sim: Any = None               # [H, W] f32 device or None
+    composited: bool = False      # True -> rgb already has the heatmap baked
+    threshold: float = 0.22
+    meta: dict = field(default_factory=dict)
+
+
 class BackendRenderer:
-    """ZMQ REP server around a merged quick-render model."""
+    """ZMQ server around a merged quick-render model."""
 
     def __init__(self, model: GaussianModel, *,
                  zmq_port: int = 5555,
@@ -45,7 +79,8 @@ class BackendRenderer:
                  max_entries: int = 2 ** 21, tile_cap: int = 1024,
                  bf16_cells: bool = False,
                  tile_budget: float = 0.0, tile_budget_cap: int = 128,
-                 tile_budget_subdiv: int = 2):
+                 tile_budget_subdiv: int = 2,
+                 compose: str = "host"):
         self.model = model
         self.background = np.asarray(background, np.float32)
         self.clip_model = clip_model or OpenCLIPNetwork()
@@ -58,9 +93,17 @@ class BackendRenderer:
         self.tile_budget = tile_budget
         self.tile_budget_cap = tile_budget_cap
         self.tile_budget_subdiv = tile_budget_subdiv
+        # compose="host": cv2 JET + blend on host (bit-exact reference
+        # parity). compose="device": normalization + analytic JET + blend +
+        # uint8 in-jit — readback shrinks to H*W*3 bytes (streaming mode).
+        assert compose in ("host", "device"), compose
+        self.compose = compose
         self.current_prompt = ""
         self.zmq_port = zmq_port
         self._settings_cache: dict[tuple, RasterizeSettings] = {}
+        self._frame_cache: dict[tuple, Any] = {}
+        self._prompt_phi: dict[str, Any] = {}
+        self._gram = None
         self.context = self.socket = None
 
     # -- camera construction (reference backend_renderer.py:130-159) --
@@ -90,8 +133,79 @@ class BackendRenderer:
                 tile_budget_subdiv=self.tile_budget_subdiv)
         return self._settings_cache[key], view, full, campos
 
-    def render_request(self, request: dict) -> np.ndarray:
-        """Process one request dict -> [H, W, 3] float image in [0,1]."""
+    # -- prompt-derived device constants (cached per prompt string) --
+    def _phi_gram(self, prompt: str):
+        import jax.numpy as jnp
+
+        if prompt not in self._prompt_phi:
+            text = np.asarray(self.clip_model.encode_text([prompt]))
+            text = text / np.linalg.norm(text, axis=-1, keepdims=True)
+            self._prompt_phi[prompt] = jnp.einsum(
+                "lkd,d->lk", self.model.codebooks, jnp.asarray(text[0]))
+        if self._gram is None:
+            cb = self.model.codebooks
+            self._gram = jnp.einsum("lkd,jmd->ljkm", cb, cb)  # [L, L, K, K]
+        return self._prompt_phi[prompt], self._gram
+
+    # -- the per-geometry jitted frame (ONE dispatch per request) --
+    def _frame_fn(self, settings: RasterizeSettings, heatmap: bool):
+        import jax
+        import jax.numpy as jnp
+
+        key = (settings, heatmap, self.compose)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
+        compose_dev = self.compose == "device"
+
+        @jax.jit
+        def frame(model, view, full, campos, bg, phi, gram, threshold):
+            if not heatmap:
+                out = render(settings, model, view, full, campos, bg)
+                return out.render.transpose(1, 2, 0), None
+            # Gram-trick query: the reference decodes [L, 512, H, W], sums
+            # levels, normalizes and dots with the text embedding
+            # (backend_renderer.py:16-36,204-228). Folding the codebooks
+            # into the text embedding and the norm into cross-level Gram
+            # matrices computes the identical similarity from the 192-ch
+            # weight map — the 512-d map never exists. The quick render
+            # already produces the RGB preview, so one render covers both.
+            out_q = render(settings, model, view, full, campos, bg,
+                           quick_render=True)
+            rgb = out_q.render.transpose(1, 2, 0)
+            wmap = out_q.language_feature_weight_map      # [L*K, H, W]
+            L, K, _ = model.codebooks.shape
+            h, w = wmap.shape[1:]
+            wm = wmap.reshape(L, K, h * w)
+            # Reference semantics: per-level L2-normalized features are
+            # SUMMED, then the sum is normalized against the text embed.
+            cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm, gram, wm)
+            s = jnp.sqrt(jnp.maximum(
+                jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10
+            num = jnp.sum(jnp.einsum("lkp,lk->lp", wm, phi) / s, axis=0)
+            nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]),
+                           axis=(0, 1))
+            sim = (num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
+                   ).reshape(h, w)
+            if not compose_dev:
+                return rgb, sim
+            # Device composition: LangSplat normalization + suppression +
+            # JET + 50/50 blend, quantized — the tunnel carries u8 pixels.
+            raw_max, raw_min = sim.max(), sim.min()
+            simn = jnp.clip(
+                (sim - raw_min) / (raw_max - raw_min + 1e-9) * 2 - 1, 0, 1)
+            simn = jnp.where(
+                (raw_max < threshold) | (raw_max - raw_min < 0.02),
+                0.0, simn)
+            img = jnp.clip(rgb * 0.5 + jet_colormap(simn) * 0.5, 0.0, 1.0)
+            return (img * 255.0 + 0.5).astype(jnp.uint8), None
+
+        self._frame_cache[key] = frame
+        return frame
+
+    # -- dispatch / finalize (the double-buffering seam) --
+    def dispatch_request(self, request: dict) -> PendingFrame:
+        """Enqueue one request's device work; returns without any host
+        sync so the caller can overlap readback of a previous frame."""
         import jax.numpy as jnp
 
         c2w = np.array(request["c2w"], np.float32)
@@ -105,56 +219,63 @@ class BackendRenderer:
             self.clip_model.set_positives([prompt])
             self.current_prompt = prompt
 
+        heatmap = bool(show_heatmap and self.current_prompt)
         settings, view, full, campos = self._camera(c2w, width, height, fov_y)
-        out = render(settings, self.model, jnp.asarray(view), jnp.asarray(full),
-                     jnp.asarray(campos), jnp.asarray(self.background))
-        rgb = np.asarray(out.render).transpose(1, 2, 0)
-        final_img = rgb
+        if heatmap:
+            phi, gram = self._phi_gram(self.current_prompt)
+        else:
+            # Structure-stable placeholders (the jit ignores them).
+            phi = gram = jnp.zeros((), jnp.float32)
+        frame = self._frame_fn(settings, heatmap)
+        rgb, sim = frame(self.model, jnp.asarray(view), jnp.asarray(full),
+                         jnp.asarray(campos), jnp.asarray(self.background),
+                         phi, gram, jnp.float32(threshold))
+        return PendingFrame(rgb=rgb, sim=sim,
+                            composited=heatmap and self.compose == "device",
+                            threshold=threshold)
 
-        if show_heatmap and self.current_prompt:
-            # Gram-trick query: the reference decodes [L, 512, H, W], sums
-            # levels, normalizes and dots with the text embedding
-            # (backend_renderer.py:16-36,204-228). Folding the codebooks
-            # into the text embedding and the norm into cross-level Gram
-            # matrices computes the identical similarity from the 192-ch
-            # weight map — the 512-d map never exists.
-            out_q = render(settings, self.model, jnp.asarray(view),
-                           jnp.asarray(full), jnp.asarray(campos),
-                           jnp.asarray(self.background), quick_render=True)
-            wmap = out_q.language_feature_weight_map      # [L*K, H, W]
-            text = np.asarray(self.clip_model.encode_text([self.current_prompt]))
-            text = text / np.linalg.norm(text, axis=-1, keepdims=True)
-            cb = self.model.codebooks                     # [L, K, 512]
-            L, K, _ = cb.shape
-            h, w = wmap.shape[1:]
-            wm = wmap.reshape(L, K, h * w)
-            # Reference semantics: per-level L2-normalized features are
-            # SUMMED, then the sum is normalized against the text embed.
-            phi = jnp.einsum("lkd,d->lk", cb, jnp.asarray(text[0]))
-            gram = jnp.einsum("lkd,jmd->ljkm", cb, cb)    # [L, L, K, K]
-            cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm, gram, wm)
-            s = jnp.sqrt(jnp.maximum(
-                jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10  # [L, P]
-            num = jnp.sum(jnp.einsum("lkp,lk->lp", wm, phi) / s, axis=0)
-            nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]), axis=(0, 1))
-            sim_j = num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
-            sim = np.asarray(sim_j).reshape(h, w)
-
+    def finalize_frame(self, pending: PendingFrame,
+                       as_uint8: bool = False) -> np.ndarray:
+        """Block on the device arrays and produce the [H, W, 3] image
+        (float in [0,1], or uint8 when as_uint8)."""
+        rgb = np.asarray(pending.rgb)
+        if pending.composited:
+            return rgb if as_uint8 else rgb.astype(np.float32) / 255.0
+        if pending.sim is None:
+            final_img = np.clip(rgb, 0, 1)
+        else:
+            sim = np.asarray(pending.sim)
             raw_max = sim.max()
             range_val = raw_max - sim.min()
-            if raw_max < threshold or range_val < 0.02:
+            if raw_max < pending.threshold or range_val < 0.02:
                 sim = np.zeros_like(sim)
             else:
                 sim = apply_langsplat_normalization(sim)
             import cv2
 
-            heat = cv2.applyColorMap((sim * 255).astype(np.uint8), cv2.COLORMAP_JET)
+            heat = cv2.applyColorMap((sim * 255).astype(np.uint8),
+                                     cv2.COLORMAP_JET)
             heat = cv2.cvtColor(heat, cv2.COLOR_BGR2RGB) / 255.0
-            final_img = rgb * 0.5 + heat * 0.5
-        return np.clip(final_img, 0, 1)
+            final_img = np.clip(rgb * 0.5 + heat * 0.5, 0, 1)
+        if as_uint8:
+            return (final_img * 255).astype(np.uint8)
+        return final_img
+
+    def render_request(self, request: dict) -> np.ndarray:
+        """Process one request dict -> [H, W, 3] float image in [0,1]."""
+        return self.finalize_frame(self.dispatch_request(request))
+
+    @staticmethod
+    def _encode_jpeg(img_u8: np.ndarray) -> bytes:
+        import cv2
+
+        _, buffer = cv2.imencode(
+            ".jpg", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+        return buffer.tobytes()
 
     def run(self):
-        import cv2
+        """Reference-parity REQ/REP loop: strict alternation, one frame in
+        flight (the protocol itself serializes request N+1 behind reply N)."""
         import zmq
 
         # Socket binding is deferred to serve time so render_request stays
@@ -168,13 +289,52 @@ class BackendRenderer:
             try:
                 message = self.socket.recv()
                 request = json.loads(message)
-                img = self.render_request(request)
-                _, buffer = cv2.imencode(
-                    ".jpg", cv2.cvtColor((img * 255).astype(np.uint8),
-                                         cv2.COLOR_RGB2BGR))
-                self.socket.send(buffer.tobytes())
+                img = self.finalize_frame(self.dispatch_request(request),
+                                          as_uint8=True)
+                self.socket.send(self._encode_jpeg(img))
             except KeyboardInterrupt:
                 break
             except Exception:
                 traceback.print_exc()
                 self.socket.send(b"ERROR")
+
+    def run_pipelined(self, depth: int = 2):
+        """Double-buffered loop on a ROUTER socket: up to `depth` requests
+        in flight, so frame N+1's dispatch (host camera math + tunnel
+        enqueue) overlaps frame N's device compute and readback. Clients
+        connect with a DEALER keeping `depth` requests outstanding
+        (serve.frontend.PipelinedClient); the REQ/REP `run()` stays the
+        reference-protocol default."""
+        import zmq
+
+        self.context = zmq.Context()
+        self.socket = self.context.socket(zmq.ROUTER)
+        self.socket.bind(f"tcp://*:{self.zmq_port}")
+        print(f"Backend Renderer (pipelined x{depth}) on {self.zmq_port}")
+
+        inflight: list[tuple[bytes, PendingFrame | None]] = []
+        while True:
+            try:
+                # Drain the oldest frame when the pipeline is full or no
+                # new request is waiting and something is in flight.
+                if inflight and (len(inflight) >= depth
+                                 or not self.socket.poll(0)):
+                    ident, pending = inflight.pop(0)
+                    if pending is None:
+                        self.socket.send_multipart([ident, b"", b"ERROR"])
+                    else:
+                        img = self.finalize_frame(pending, as_uint8=True)
+                        self.socket.send_multipart(
+                            [ident, b"", self._encode_jpeg(img)])
+                    continue
+                if self.socket.poll(100 if inflight else None) == 0:
+                    continue
+                ident, _empty, message = self.socket.recv_multipart()
+                try:
+                    inflight.append(
+                        (ident, self.dispatch_request(json.loads(message))))
+                except Exception:
+                    traceback.print_exc()
+                    inflight.append((ident, None))
+            except KeyboardInterrupt:
+                break

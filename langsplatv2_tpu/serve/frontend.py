@@ -28,6 +28,45 @@ def wxyz_to_rotmat(wxyz: np.ndarray) -> np.ndarray:
     ])
 
 
+class PipelinedClient:
+    """DEALER client for BackendRenderer.run_pipelined: keeps up to
+    `depth` requests in flight so the server can overlap frame N+1's
+    dispatch with frame N's device compute + readback. `submit` enqueues;
+    `collect` returns the oldest reply (bytes) when one is due."""
+
+    def __init__(self, backend_addr: str = "tcp://localhost:5555",
+                 depth: int = 2):
+        import zmq
+
+        self._ctx = zmq.Context()
+        self.socket = self._ctx.socket(zmq.DEALER)
+        self.socket.connect(backend_addr)
+        self.depth = depth
+        self.inflight = 0
+
+    def submit(self, request: dict):
+        self.socket.send_multipart([b"", json.dumps(request).encode()])
+        self.inflight += 1
+
+    def _recv(self) -> bytes:
+        _empty, reply = self.socket.recv_multipart()
+        self.inflight -= 1
+        return reply
+
+    def collect(self, block: bool = False) -> bytes | None:
+        """Oldest outstanding reply; None when the pipeline isn't full yet
+        (or, with block=False, when no reply is ready)."""
+        if self.inflight > self.depth or (block and self.inflight):
+            return self._recv()
+        if self.inflight and self.socket.poll(0):
+            return self._recv()
+        return None
+
+    def drain(self):
+        while self.inflight:
+            yield self._recv()
+
+
 class ViserFrontend:
     def __init__(self, backend_addr: str = "tcp://localhost:5555",
                  port: int = 8081, base_height: int = 720,

@@ -59,6 +59,80 @@ class TestBackend:
         d = np.abs(ref - fast)
         assert d.mean() < 2e-2 and d.max() < 2e-1, (d.mean(), d.max())
 
+    def test_dispatch_finalize_split(self, merged_model):
+        """Double-buffering seam: N dispatched frames finalize to the same
+        images as the synchronous render_request path."""
+        backend = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256)
+        reqs = []
+        for dx in (0.0, 0.1, 0.2):
+            c2w = np.eye(4)
+            c2w[0, 3] = dx
+            reqs.append({"c2w": c2w.tolist(), "width": 96, "height": 64,
+                         "fov_y": math.radians(60), "prompt": "red car",
+                         "show_heatmap": True, "threshold": -10.0})
+        pendings = [backend.dispatch_request(r) for r in reqs]
+        piped = [backend.finalize_frame(p) for p in pendings]
+        for r, img in zip(reqs, piped):
+            np.testing.assert_allclose(backend.render_request(r), img,
+                                       atol=1e-6)
+
+    def test_device_compose_matches_host(self, merged_model):
+        """compose="device" (in-jit normalization + analytic JET + blend +
+        u8) tracks the host cv2 path within colormap LUT quantization."""
+        req = {"c2w": np.eye(4).tolist(), "width": 96, "height": 64,
+               "fov_y": math.radians(60), "prompt": "red car",
+               "show_heatmap": True, "threshold": -10.0}
+        kw = dict(clip_model=OpenCLIPNetwork(backend="hash"),
+                  max_entries=2 ** 12, tile_cap=256)
+        host = BackendRenderer(merged_model, **kw).render_request(req)
+        dev = BackendRenderer(merged_model, compose="device",
+                              **kw).render_request(req)
+        assert dev.shape == host.shape
+        d = np.abs(host - dev)
+        assert d.mean() < 2e-2 and d.max() < 0.13, (d.mean(), d.max())
+        # Non-heatmap requests are unaffected by the compose mode.
+        req_rgb = {k: v for k, v in req.items() if k != "show_heatmap"}
+        a = BackendRenderer(merged_model, **kw).render_request(req_rgb)
+        b = BackendRenderer(merged_model, compose="device",
+                            **kw).render_request(req_rgb)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_pipelined_zmq_loopback(self, merged_model):
+        """ROUTER server + DEALER client with depth-2 in flight: every
+        request gets a decodable JPEG reply, in order."""
+        zmq = pytest.importorskip("zmq")
+        cv2 = pytest.importorskip("cv2")
+        import threading
+
+        port = 15591
+        backend = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256, compose="device",
+            zmq_port=port)
+        t = threading.Thread(target=backend.run_pipelined,
+                             kwargs={"depth": 2}, daemon=True)
+        t.start()
+        from langsplatv2_tpu.serve.frontend import PipelinedClient
+
+        client = PipelinedClient(f"tcp://localhost:{port}", depth=2)
+        replies = []
+        for i in range(5):
+            c2w = np.eye(4)
+            c2w[0, 3] = 0.05 * i
+            client.submit({"c2w": c2w.tolist(), "width": 96, "height": 64,
+                           "fov_y": math.radians(60), "prompt": "red car",
+                           "show_heatmap": True, "threshold": -10.0})
+            r = client.collect()
+            if r is not None:
+                replies.append(r)
+        replies.extend(client.drain())
+        assert len(replies) == 5
+        for r in replies:
+            img = cv2.imdecode(np.frombuffer(r, np.uint8), cv2.IMREAD_COLOR)
+            assert img is not None and img.shape == (64, 96, 3)
+
     def test_heatmap_request_matches_decode(self, merged_model):
         backend = BackendRenderer(
             merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
