@@ -180,9 +180,12 @@ def _blend_kernel(
              jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 2), jnp.float32)],
             axis=1)                                        # [P, 8]
         # Strict lower-triangular ones: cum[p, i] = sum_{j<i} lm[p, j].
+        # Cast i1 -> f32 -> cdt: the direct i1 -> bf16 cast trips a Mosaic
+        # relayout bug on v5e ("Non-singleton logical dimension is
+        # replicated in destination but not in source", measured r4).
         lt = (lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
               < lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-              ).astype(cdt)
+              ).astype(jnp.float32).astype(cdt)
         ones_col = jnp.ones((chunk, 1), cdt)
 
     # Program prologue: fetch the first tile's first chunk. Each later
@@ -272,12 +275,22 @@ def _blend_kernel(
                     precision=lax.Precision.HIGHEST)         # [P, chunk]
                 if cellbf16:
                     # One f32->bf16 cast, then the whole [P, chunk] cell
-                    # chain runs at 2x VPU lane packing.
+                    # chain runs at 2x VPU lane packing. The VALIDITY
+                    # compares stay on the f32 operands: v5e's VPU has no
+                    # bf16 compare ("Target does not support this
+                    # comparison", measured r4) and the f32 test is also
+                    # the exact one.
+                    valid = in_range & (power <= POWER_TOL)
                     power = power.astype(cdt)
                     op = op.astype(cdt)
-                alpha = jnp.minimum(jnp.asarray(ALPHA_MAX, cdt),
-                                    op * jnp.exp(power))
-                valid = in_range & (power <= POWER_TOL) & (alpha >= ALPHA_MIN)
+                    alpha = jnp.minimum(jnp.asarray(ALPHA_MAX, cdt),
+                                        op * jnp.exp(power))
+                    valid = valid & (alpha.astype(jnp.float32) >= ALPHA_MIN)
+                else:
+                    alpha = jnp.minimum(jnp.asarray(ALPHA_MAX, cdt),
+                                        op * jnp.exp(power))
+                    valid = (in_range & (power <= POWER_TOL)
+                             & (alpha >= ALPHA_MIN))
             else:
                 ca = g[2:3, :]
                 cb = g[3:4, :]
@@ -308,7 +321,10 @@ def _blend_kernel(
                 one_minus = 1.0 - alpha
                 t_excl = t_test[...] * _exclusive_cumprod_lanes(
                     one_minus, chunk)
-            include = valid & (t_excl * (1.0 - alpha) >= T_EPS)
+            # (f32 compare: v5e has no bf16 compare — see the cellbf16
+            # validity note above.)
+            include = valid & (
+                (t_excl * (1.0 - alpha)).astype(jnp.float32) >= T_EPS)
             w = jnp.where(include, alpha * t_excl, 0.0)      # [P, chunk]
 
             # Feature rows F^T [acc_width, chunk]; contraction happens on
@@ -345,6 +361,20 @@ def _blend_kernel(
                     idx += [(r - 256.0 * i1).astype(cdt), i1.astype(cdt),
                             i2.astype(cdt)]
                 nch = acc_width - F16_FEAT_COL
+
+                if cellbf16:
+                    # v5e has no bf16 compare: build the one-hot
+                    # arithmetically as relu(1 - |idx - ch|) — EXACT for
+                    # the integer-valued operands here (all < 256, which
+                    # bf16 represents exactly), and fully lane-packed.
+                    def eq1(a, b):
+                        return jnp.maximum(
+                            jnp.asarray(0.0, cdt),
+                            jnp.asarray(1.0, cdt) - jnp.abs(a - b))
+                else:
+                    def eq1(a, b):
+                        return (a == b).astype(cdt)
+
                 if banded:
                     # Merged quick models give level l the index range
                     # [64l, 64(l+1)) (eval_lerf.py:333-348): compare each
@@ -358,7 +388,7 @@ def _blend_kernel(
                         b = jnp.zeros((LEVEL_BAND, chunk), cdt)
                         for j in range(lvl * per_level, (lvl + 1) * per_level):
                             local = idx[j] - jnp.asarray(LEVEL_BAND * lvl, cdt)
-                            b = b + ws[j] * (local == ch).astype(cdt)
+                            b = b + ws[j] * eq1(local, ch)
                         bands.append(b)
                     dense = jnp.concatenate(bands, axis=0)
                 else:
@@ -366,7 +396,7 @@ def _blend_kernel(
                         jnp.int32, (nch, 1), 0).astype(cdt)
                     dense = jnp.zeros((nch, chunk), cdt)
                     for j in range(topk):
-                        dense = dense + ws[j] * (idx[j] == ch).astype(cdt)
+                        dense = dense + ws[j] * eq1(idx[j], ch)
                 f_rows = jnp.concatenate([r_row, g_row, b_row, dense], axis=0)
             else:  # quick f32: expand packed (weights, idx pairs) on-chip
                 if packed:

@@ -80,7 +80,8 @@ class BackendRenderer:
                  bf16_cells: bool = False,
                  tile_budget: float = 0.0, tile_budget_cap: int = 128,
                  tile_budget_subdiv: int = 2,
-                 compose: str = "host"):
+                 compose: str = "host",
+                 pose_cache: bool = True):
         self.model = model
         self.background = np.asarray(background, np.float32)
         self.clip_model = clip_model or OpenCLIPNetwork()
@@ -105,6 +106,21 @@ class BackendRenderer:
         self._prompt_phi: dict[str, Any] = {}
         self._gram = None
         self.context = self.socket = None
+        # Temporal coherence: the viser frontend polls at 100 Hz and
+        # re-sends the SAME camera whenever the user is reading the scene,
+        # typing a prompt, or dragging the threshold slider — so a
+        # pose-unchanged request is the common serving case. The pose
+        # cache keeps the last rendered pose's device arrays (rgb + the
+        # [L*K, H, W] weight map, bf16) and re-runs only the query +
+        # compose tail (~1/4 of the frame); an identical FULL request
+        # (pose+prompt+threshold) reuses the encoded JPEG outright.
+        # Bit-exact: a cache hit replays the same pose's blend output.
+        self.pose_cache_enabled = pose_cache
+        self._pose_key: tuple | None = None     # (c2w bytes, w, h, fovy, hm)
+        self._pose_entry: dict[str, Any] | None = None
+        self._jpeg_key: tuple | None = None
+        self._jpeg_bytes: bytes | None = None
+        self.cache_hits = {"pose": 0, "jpeg": 0, "miss": 0}
 
     # -- camera construction (reference backend_renderer.py:130-159) --
     def _camera(self, c2w: np.ndarray, width: int, height: int, fov_y: float):
@@ -147,6 +163,43 @@ class BackendRenderer:
             self._gram = jnp.einsum("lkd,jmd->ljkm", cb, cb)  # [L, L, K, K]
         return self._prompt_phi[prompt], self._gram
 
+    # -- query + compose tail (shared by the full frame and pose-cache
+    #    hits, so a hit replays EXACTLY the miss path's math) --
+    @staticmethod
+    def _query_compose(rgb, wm16, phi, gram, threshold, L, K, compose_dev):
+        import jax.numpy as jnp
+
+        h, w = wm16.shape[1:]
+        wm = wm16.reshape(L, K, h * w)
+        # Reference semantics: per-level L2-normalized features are
+        # SUMMED, then the sum is normalized against the text embed.
+        # bf16 operands (the fast-mode contract; the weight map itself
+        # came out of the bf16 MXU blend), f32 accumulation.
+        cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm,
+                           gram.astype(jnp.bfloat16), wm,
+                           preferred_element_type=jnp.float32)
+        s = jnp.sqrt(jnp.maximum(
+            jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10
+        num = jnp.sum(
+            jnp.einsum("lkp,lk->lp", wm, phi.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) / s, axis=0)
+        nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]),
+                       axis=(0, 1))
+        sim = (num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
+               ).reshape(h, w)
+        if not compose_dev:
+            return rgb, sim
+        # Device composition: LangSplat normalization + suppression +
+        # JET + 50/50 blend, quantized — the tunnel carries u8 pixels.
+        raw_max, raw_min = sim.max(), sim.min()
+        simn = jnp.clip(
+            (sim - raw_min) / (raw_max - raw_min + 1e-9) * 2 - 1, 0, 1)
+        simn = jnp.where(
+            (raw_max < threshold) | (raw_max - raw_min < 0.02),
+            0.0, simn)
+        img = jnp.clip(rgb * 0.5 + jet_colormap(simn) * 0.5, 0.0, 1.0)
+        return (img * 255.0 + 0.5).astype(jnp.uint8), None
+
     # -- the per-geometry jitted frame (ONE dispatch per request) --
     def _frame_fn(self, settings: RasterizeSettings, heatmap: bool):
         import jax
@@ -156,12 +209,14 @@ class BackendRenderer:
         if key in self._frame_cache:
             return self._frame_cache[key]
         compose_dev = self.compose == "device"
+        L, K, _ = self.model.codebooks.shape
 
         @jax.jit
         def frame(model, view, full, campos, bg, phi, gram, threshold):
             if not heatmap:
                 out = render(settings, model, view, full, campos, bg)
-                return out.render.transpose(1, 2, 0), None
+                rgb = out.render.transpose(1, 2, 0)
+                return rgb, None, rgb, None
             # Gram-trick query: the reference decodes [L, 512, H, W], sums
             # levels, normalizes and dots with the text embedding
             # (backend_renderer.py:16-36,204-228). Folding the codebooks
@@ -172,35 +227,33 @@ class BackendRenderer:
             out_q = render(settings, model, view, full, campos, bg,
                            quick_render=True)
             rgb = out_q.render.transpose(1, 2, 0)
-            wmap = out_q.language_feature_weight_map      # [L*K, H, W]
-            L, K, _ = model.codebooks.shape
-            h, w = wmap.shape[1:]
-            wm = wmap.reshape(L, K, h * w)
-            # Reference semantics: per-level L2-normalized features are
-            # SUMMED, then the sum is normalized against the text embed.
-            cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm, gram, wm)
-            s = jnp.sqrt(jnp.maximum(
-                jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10
-            num = jnp.sum(jnp.einsum("lkp,lk->lp", wm, phi) / s, axis=0)
-            nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]),
-                           axis=(0, 1))
-            sim = (num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
-                   ).reshape(h, w)
-            if not compose_dev:
-                return rgb, sim
-            # Device composition: LangSplat normalization + suppression +
-            # JET + 50/50 blend, quantized — the tunnel carries u8 pixels.
-            raw_max, raw_min = sim.max(), sim.min()
-            simn = jnp.clip(
-                (sim - raw_min) / (raw_max - raw_min + 1e-9) * 2 - 1, 0, 1)
-            simn = jnp.where(
-                (raw_max < threshold) | (raw_max - raw_min < 0.02),
-                0.0, simn)
-            img = jnp.clip(rgb * 0.5 + jet_colormap(simn) * 0.5, 0.0, 1.0)
-            return (img * 255.0 + 0.5).astype(jnp.uint8), None
+            wm16 = out_q.language_feature_weight_map.astype(jnp.bfloat16)
+            vis, sim = BackendRenderer._query_compose(
+                rgb, wm16, phi, gram, threshold, L, K, compose_dev)
+            # rgb + wm16 ride along as device arrays for the pose cache
+            # (never read back — staying in HBM costs nothing).
+            return vis, sim, rgb, wm16
 
         self._frame_cache[key] = frame
         return frame
+
+    # -- pose-cache hit: query + compose only (blend inputs replayed) --
+    def _hit_fn(self, hw_key: tuple):
+        import jax
+
+        key = ("hit", hw_key, self.compose)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
+        compose_dev = self.compose == "device"
+        L, K, _ = self.model.codebooks.shape
+
+        @jax.jit
+        def hit(rgb, wm16, phi, gram, threshold):
+            return BackendRenderer._query_compose(
+                rgb, wm16, phi, gram, threshold, L, K, compose_dev)
+
+        self._frame_cache[key] = hit
+        return hit
 
     # -- dispatch / finalize (the double-buffering seam) --
     def dispatch_request(self, request: dict) -> PendingFrame:
@@ -226,11 +279,36 @@ class BackendRenderer:
         else:
             # Structure-stable placeholders (the jit ignores them).
             phi = gram = jnp.zeros((), jnp.float32)
+
+        pose_key = (c2w.tobytes(), width, height, round(fov_y, 9), heatmap)
+        if (self.pose_cache_enabled and pose_key == self._pose_key
+                and self._pose_entry is not None):
+            # Pose unchanged (prompt/threshold may differ): replay the
+            # cached blend output through the query+compose tail only —
+            # preprocess/expand/sort/gather/blend all skipped, bit-exact.
+            self.cache_hits["pose"] += 1
+            entry = self._pose_entry
+            if not heatmap:
+                rgb, sim = entry["rgb"], None
+            else:
+                hit = self._hit_fn((width, height))
+                rgb, sim = hit(entry["rgb"], entry["wm16"], phi, gram,
+                               jnp.float32(threshold))
+            return PendingFrame(
+                rgb=rgb, sim=sim,
+                composited=heatmap and self.compose == "device",
+                threshold=threshold)
+
+        self.cache_hits["miss"] += 1
         frame = self._frame_fn(settings, heatmap)
-        rgb, sim = frame(self.model, jnp.asarray(view), jnp.asarray(full),
-                         jnp.asarray(campos), jnp.asarray(self.background),
-                         phi, gram, jnp.float32(threshold))
-        return PendingFrame(rgb=rgb, sim=sim,
+        vis, sim, raw_rgb, wm16 = frame(
+            self.model, jnp.asarray(view), jnp.asarray(full),
+            jnp.asarray(campos), jnp.asarray(self.background),
+            phi, gram, jnp.float32(threshold))
+        if self.pose_cache_enabled:
+            self._pose_key = pose_key
+            self._pose_entry = {"rgb": raw_rgb, "wm16": wm16}
+        return PendingFrame(rgb=vis, sim=sim,
                             composited=heatmap and self.compose == "device",
                             threshold=threshold)
 
@@ -288,10 +366,21 @@ class BackendRenderer:
         while True:
             try:
                 message = self.socket.recv()
+                # Byte-identical request (the frontend's 100 Hz repoll of
+                # an unchanged camera/prompt/threshold): resend the
+                # encoded JPEG — zero device work, zero host encode.
+                if (self.pose_cache_enabled and message == self._jpeg_key
+                        and self._jpeg_bytes is not None):
+                    self.cache_hits["jpeg"] += 1
+                    self.socket.send(self._jpeg_bytes)
+                    continue
                 request = json.loads(message)
                 img = self.finalize_frame(self.dispatch_request(request),
                                           as_uint8=True)
-                self.socket.send(self._encode_jpeg(img))
+                jpeg = self._encode_jpeg(img)
+                if self.pose_cache_enabled:
+                    self._jpeg_key, self._jpeg_bytes = message, jpeg
+                self.socket.send(jpeg)
             except KeyboardInterrupt:
                 break
             except Exception:
@@ -312,7 +401,7 @@ class BackendRenderer:
         self.socket.bind(f"tcp://*:{self.zmq_port}")
         print(f"Backend Renderer (pipelined x{depth}) on {self.zmq_port}")
 
-        inflight: list[tuple[bytes, PendingFrame | None]] = []
+        inflight: list[tuple[bytes, PendingFrame | bytes | None]] = []
         while True:
             try:
                 # Drain the oldest frame when the pipeline is full or no
@@ -322,17 +411,28 @@ class BackendRenderer:
                     ident, pending = inflight.pop(0)
                     if pending is None:
                         self.socket.send_multipart([ident, b"", b"ERROR"])
+                    elif isinstance(pending, bytes):   # JPEG-cache hit
+                        self.socket.send_multipart([ident, b"", pending])
                     else:
                         img = self.finalize_frame(pending, as_uint8=True)
-                        self.socket.send_multipart(
-                            [ident, b"", self._encode_jpeg(img)])
+                        jpeg = self._encode_jpeg(img)
+                        if self.pose_cache_enabled:
+                            self._jpeg_key = pending.meta.get("message")
+                            self._jpeg_bytes = jpeg
+                        self.socket.send_multipart([ident, b"", jpeg])
                     continue
                 if self.socket.poll(100 if inflight else None) == 0:
                     continue
                 ident, _empty, message = self.socket.recv_multipart()
+                if (self.pose_cache_enabled and message == self._jpeg_key
+                        and self._jpeg_bytes is not None):
+                    self.cache_hits["jpeg"] += 1
+                    inflight.append((ident, self._jpeg_bytes))
+                    continue
                 try:
-                    inflight.append(
-                        (ident, self.dispatch_request(json.loads(message))))
+                    pf = self.dispatch_request(json.loads(message))
+                    pf.meta["message"] = message
+                    inflight.append((ident, pf))
                 except Exception:
                     traceback.print_exc()
                     inflight.append((ident, None))

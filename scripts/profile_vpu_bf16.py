@@ -32,14 +32,19 @@ def main():
     K = 8              # scan length
 
     def kernel(x_ref, o_ref, *, dtype):
+        # Compares run in f32 regardless of dtype: v5e's VPU has no bf16
+        # compare (Mosaic: "Target does not support this comparison",
+        # measured r4) — this matches the production cellbf16 kernel,
+        # which also keeps its validity compares on f32 operands.
         x = x_ref[...].astype(dtype)
         acc = jnp.zeros_like(x)
         half = jnp.asarray(0.5, dtype)
-        lim = jnp.asarray(0.999, dtype)
+        lim = jnp.float32(0.999)
         for _ in range(REPS):
             a = x * half
             e = jnp.exp(-a * a)
-            m = (e <= lim) & (a >= -lim)
+            m = ((e.astype(jnp.float32) <= lim)
+                 & (a.astype(jnp.float32) >= -lim))
             acc = acc + jnp.where(m, e, half)
             x = x + e * jnp.asarray(1e-3, dtype)
         o_ref[...] = acc.astype(jnp.float32)

@@ -174,3 +174,48 @@ class TestBackend:
         nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]), axis=(0, 1))
         sim = np.asarray(num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10))
         np.testing.assert_allclose(sim.reshape(64, 96), sim_ref, atol=5e-5)
+
+    def test_pose_cache_hit_matches_miss(self, merged_model):
+        """Temporal coherence: a pose-unchanged request (new prompt /
+        threshold) replays the cached blend output through the query tail
+        only, and must match a fresh backend's full render."""
+        kw = dict(clip_model=OpenCLIPNetwork(backend="hash"),
+                  max_entries=2 ** 12, tile_cap=256)
+
+        def req(prompt, thresh=-10.0, dx=0.0):
+            c2w = np.eye(4)
+            c2w[0, 3] = dx
+            return {"c2w": c2w.tolist(), "width": 96, "height": 64,
+                    "fov_y": math.radians(60), "prompt": prompt,
+                    "show_heatmap": True, "threshold": thresh}
+
+        cached = BackendRenderer(merged_model, **kw)
+        img0 = cached.render_request(req("red car"))          # miss
+        hit1 = cached.render_request(req("blue box"))         # pose hit
+        hit2 = cached.render_request(req("blue box", 0.5))    # pose hit
+        assert cached.cache_hits["pose"] == 2
+        assert cached.cache_hits["miss"] == 1
+
+        fresh = BackendRenderer(merged_model, **kw)
+        np.testing.assert_allclose(
+            hit1, fresh.render_request(req("blue box")), atol=1e-6)
+        fresh2 = BackendRenderer(merged_model, **kw)
+        np.testing.assert_allclose(
+            hit2, fresh2.render_request(req("blue box", 0.5)), atol=1e-6)
+
+        # Repeating the ORIGINAL prompt after the hits still matches.
+        np.testing.assert_allclose(
+            cached.render_request(req("red car")), img0, atol=1e-6)
+
+        # A pose change invalidates: must re-render, not replay.
+        moved = cached.render_request(req("blue box", dx=0.3))
+        assert cached.cache_hits["miss"] == 2
+        fresh3 = BackendRenderer(merged_model, **kw)
+        np.testing.assert_allclose(
+            moved, fresh3.render_request(req("blue box", dx=0.3)), atol=1e-6)
+
+        # Cache off reproduces the same images.
+        off = BackendRenderer(merged_model, pose_cache=False, **kw)
+        np.testing.assert_allclose(
+            off.render_request(req("blue box")), hit1, atol=1e-6)
+        assert off.cache_hits["pose"] == 0
