@@ -312,7 +312,9 @@ def _blend_kernel(
                 # log-domain scan as one strict-lower-triangular matmul
                 # (default/bf16 MXU pass; T error ~0.4% relative — the
                 # fast-mode contract).
-                lm = jnp.log1p(-alpha)                       # [P, chunk]
+                # log1p legalizes only on f32 in v5e Mosaic; the matmul
+                # operand drops back to cdt afterwards.
+                lm = jnp.log1p(-alpha.astype(jnp.float32)).astype(cdt)
                 cum = lax.dot_general(
                     lm, lt, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)      # exclusive sums
