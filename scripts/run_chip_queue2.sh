@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Second measurement wave for the round-4 chip window (run after
+# run_chip_queue.sh finishes; pass the pid of that queue to wait on it).
+#
+#   1. capped_stages      — stage attribution of the budget-capped 728p
+#                           frame (bench measured 21.9 FPS vs ~32 ms
+#                           stage model: where do the extra ms live?)
+#   2. capped_stages_cap64 — cap A/B: halving the [T, cap] row gather
+#   3. bf16cells_compile  — verify the log1p f32 fix lets the bf16-cells
+#                           kernel compile on v5e Mosaic (perf already
+#                           measured a dead end; flag must still work)
+#   4. train_bwd          — feature-step backward attribution
+set -u
+OUT=${OUT:-/tmp/chip_logs}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+
+if [ "${1:-}" != "" ]; then
+  echo "waiting on queue pid $1"
+  while kill -0 "$1" 2>/dev/null; do sleep 20; done
+fi
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  tail -n 25 "$OUT/$name.log"
+  echo "=== $name exit $rc ==="
+}
+
+run capped_stages       1800 python scripts/profile_capped_stages.py
+run capped_stages_cap64 1800 env LSV2_CAP=64 python scripts/profile_capped_stages.py
+run bf16cells_compile    900 python scripts/check_bf16cells_compile.py
+run train_bwd           1800 python scripts/profile_train_bwd.py
+echo "queue2 done"
