@@ -10,6 +10,9 @@ NAME=${3:-scene}
 DIR=$(dirname "$0")
 ITER_RGB=${ITER_RGB:-30000}
 ITER_FEAT=${ITER_FEAT:-10000}
+# Measured-fastest production feature-training config (see train.sh note);
+# TILE_BUDGET=0 restores exact reference semantics.
+TILE_BUDGET=${TILE_BUDGET:-1e-6}
 
 python "$DIR/train.py" -s "$SCENE" -m "$OUT/${NAME}_rgb" \
   --iterations "$ITER_RGB" --save_iterations "$ITER_RGB" \
@@ -23,6 +26,7 @@ for LEVEL in 1 2 3; do
     --start_checkpoint "$RGB_CKPT" \
     --include_feature --feature_level "$LEVEL" \
     --vq_layer_num 1 --codebook_size 64 --cos_loss --topk 4 \
+    --tile_budget "$TILE_BUDGET" \
     --iterations "$ITER_FEAT" --save_iterations "$ITER_FEAT" \
     --checkpoint_iterations "$ITER_FEAT"
 done

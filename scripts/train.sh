@@ -11,10 +11,16 @@ OUT=$2
 LEVEL=$3
 TOPK=${4:-4}
 RGB_CKPT=${RGB_CKPT:-"${OUT}_-1/chkpnt30000.npz"}
+# Budget-capped binning is the measured-fastest production config on TPU
+# (15.93 it/s vs 11.39 exact at 544x960/300k, v5e-1; grad-exact under an
+# uncrossable budget, IoU-pinned at serving budgets). TILE_BUDGET=0
+# restores exact reference semantics.
+TILE_BUDGET=${TILE_BUDGET:-1e-6}
 
 python "$(dirname "$0")/train.py" \
   -s "$SCENE" -m "$OUT" \
   --include_feature --feature_level "$LEVEL" \
   --start_checkpoint "$RGB_CKPT" \
   --vq_layer_num 1 --codebook_size 64 --cos_loss --topk "$TOPK" \
+  --tile_budget "$TILE_BUDGET" \
   --iterations 10000
