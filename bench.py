@@ -275,6 +275,19 @@ def main():
     # Scene arrays are jit ARGUMENTS, not closures: closed-over device
     # arrays become inlined constants and blow up the remote compile
     # (~7 minutes measured vs ~1 with args).
+    # LSV2_UNFUSED_QUERY=1: A/B the fused in-blend Gram query against the
+    # plain route (render weight-map tiles, then XLA bf16 einsums). The
+    # fused kernel keeps the [T, P, 192] map out of HBM, but its in-kernel
+    # epilogue competes with the blend for VPU/MXU cycles — which side
+    # wins is an empirical question per load.
+    UNFUSED_QUERY = os.environ.get("LSV2_UNFUSED_QUERY", "0") == "1"
+    if UNFUSED_QUERY:
+        log("unfused-query A/B ENABLED (LSV2_UNFUSED_QUERY=1)")
+    # bf16 operands = the MXU's native pass; CPU XLA (the flow smoke)
+    # cannot execute bf16xbf16->f32 dots.
+    MM_DT = (jnp.bfloat16 if jax.default_backend() != "cpu"
+             else jnp.float32)
+
     def make_frame(settings):
         from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
 
@@ -285,13 +298,33 @@ def main():
             query FUSED into the blend kernel (the [T, P, 192] weight-map
             tiles never reach HBM — only [T, P, L*PQ] raw scores and
             [T, P, L] Gram norms do)."""
-            rgb, raw_t, nrm2_t, final_t, radii, total, live = \
-                rasterize_quick_query(
+            if UNFUSED_QUERY:
+                out = rasterize(
                     settings, means_d, op_d, view, proj,
                     jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
                     scales=sc_d, rotations=rot_d, colors_precomp=col_d,
                     quick_weights=qw_d, quick_indices=qi_d,
-                    phi=phi_d, gram=gram_d, quick_channels=L * K)
+                    quick_channels=L * K)
+                rgb, total = out.rgb, out.total_entries
+                live = (out.live_total if out.live_total is not None
+                        else total)
+                t, p, _ = out.feature_map.shape
+                wm = out.feature_map.reshape(t * p, L, K).astype(MM_DT)
+                raw_t = jnp.einsum(
+                    "qlk,lkp->qlp", wm, phi_d.astype(MM_DT),
+                    preferred_element_type=jnp.float32).reshape(t, p, -1)
+                wg = jnp.einsum(
+                    "qlk,lkm->qlm", wm, gram_d.astype(MM_DT),
+                    preferred_element_type=jnp.float32)
+                nrm2_t = jnp.sum(wg * wm, axis=-1).reshape(t, p, L)
+            else:
+                rgb, raw_t, nrm2_t, final_t, radii, total, live = \
+                    rasterize_quick_query(
+                        settings, means_d, op_d, view, proj,
+                        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                        scales=sc_d, rotations=rot_d, colors_precomp=col_d,
+                        quick_weights=qw_d, quick_indices=qi_d,
+                        phi=phi_d, gram=gram_d, quick_channels=L * K)
             t, p, _ = raw_t.shape
             raw = raw_t.reshape(t * p, L, NPOS + NNEG).transpose(1, 0, 2)
             nrm2 = nrm2_t.reshape(t * p, L).T                     # [L, Q]
@@ -374,10 +407,7 @@ def main():
     def make_decode_frame(dset, dH, dW):
         from langsplatv2_tpu.ops import rasterize_tiles
 
-        # bf16 operands = the MXU's native pass; CPU XLA (the flow smoke)
-        # cannot execute bf16xbf16->f32 dots, so it stays f32 there.
-        mm_dt = (jnp.bfloat16 if jax.default_backend() != "cpu"
-                 else jnp.float32)
+        mm_dt = MM_DT
 
         @jax.jit
         def frame_decoded(view, proj, means_d, op_d, sc_d, rot_d, col_d,
