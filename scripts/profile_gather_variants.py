@@ -26,6 +26,7 @@ def main():
     log("devices:", jax.devices())
     n = 1_000_000
     e = 4_100_000
+    e -= e % 650  # blocky reshape below needs a multiple
     K = 8
 
     rng = np.random.default_rng(0)
