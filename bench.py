@@ -511,13 +511,21 @@ def main():
     lfovx = 2 * math.atan(math.tan(fovy / 2) * lW / lH)
     lproj = jnp.asarray(
         w2c.T @ get_projection_matrix(0.01, 100, lfovx, fovy).T, jnp.float32)
+    # Probe budget generous enough that the adaptive tightening sees the
+    # REAL total (round-4 found the old 2.6M probe budget saturated at
+    # this load — entries==budget means far tiles were silently truncated
+    # and the measured FPS was flattered).
+    lprobe = int(os.environ.get("LSV2_BENCH_LBUDGET", 3_900_000))
     lset = settings0._replace(
         image_height=lH, image_width=lW, tanfovx=math.tan(lfovx / 2),
-        max_entries=2_600_000)
+        max_entries=lprobe)
     frame_l0 = make_frame(lset)
     _, _, ltot, llive = frame_l0(view, lproj, *scene_args)
     ltot, llive = int(ltot), int(llive)
-    lbudget = min(-(-int(ltot * 1.07) // 4096) * 4096, 2_600_000)
+    if ltot >= lprobe:
+        log(f"WARNING: lerf probe budget saturated (total {ltot} >= "
+            f"{lprobe}) - raise LSV2_BENCH_LBUDGET")
+    lbudget = min(-(-int(ltot * 1.07) // 4096) * 4096, lprobe)
     llive_b = min(-(-int(llive * 1.07) // 4096) * 4096, lbudget)
     frame_lerf_settings = lset._replace(max_entries=lbudget,
                                         live_entries=llive_b)

@@ -384,6 +384,11 @@ def _rasterize_pallas(
          live_total) = _capped_quick_binning(
             settings, proj, opacities, interp)
         telemetry_counts = kept_full
+        # Per-tile entry counts are <= tile_budget_cap by construction:
+        # shrinking the blend chunk to the cap halves the VPU cell area
+        # (and quarters the [chunk, chunk] transmittance matmul) at
+        # cap 128 — chunk-256 programs would mask out dead lanes instead.
+        chunk = min(chunk, max(settings.tile_budget_cap, 128))
     else:
         g_sorted, tile_start, tile_count, total, live_total = \
             _sorted_quick_binning(settings, proj, opacities, interp)
@@ -580,6 +585,9 @@ def rasterize_quick_query(
         (g_used, tile_start, tile_count, _kept_full, total,
          live_total) = _capped_quick_binning(
             settings, proj, opacities, interp)
+        # Counts <= cap: chunk = cap halves the blend's VPU cell area at
+        # cap 128 (see the capped branch in rasterize()).
+        chunk = min(chunk, max(settings.tile_budget_cap, 128))
     else:
         g_used, tile_start, tile_count, total, live_total = \
             _sorted_quick_binning(settings, proj, opacities, interp)
