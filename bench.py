@@ -409,6 +409,8 @@ def main():
 
         mm_dt = MM_DT
 
+        gx, gy = dset.grid_x, dset.grid_y
+
         @jax.jit
         def frame_decoded(view, proj, means_d, op_d, sc_d, rot_d, col_d,
                           qw_d, qi_d, cb):
@@ -418,16 +420,31 @@ def main():
                 scales=sc_d, rotations=rot_d, colors_precomp=col_d,
                 quick_weights=qw_d, quick_indices=qi_d,
                 quick_channels=L * K)
-            t, p, _ = out.feature_map.shape          # [T, 256, L*K] tiles
-            wm = out.feature_map.reshape(t * p, L, K).astype(mm_dt)
-            feats = jnp.einsum(
-                "qlk,lkd->qld", wm, cb.astype(mm_dt),
-                preferred_element_type=jnp.float32)  # L batched [Q,64]@[64,512]
-            feats = feats * jax.lax.rsqrt(
-                jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-10)
-            feats = feats.astype(jnp.bfloat16).reshape(t, p, L * CLIP_D)
-            img = rasterize_tiles.tiles_to_image(
-                feats, dset.grid_x, dset.grid_y, dH, dW)
+            # Stream the decode one tile-row at a time into a preallocated
+            # bf16 image buffer (fori_loop carry -> in-place updates): at
+            # 1080p the whole-frame [Q, L, 512] f32 intermediate is 12.7GB
+            # and OOMs the 16GB HBM; per-row it is 190MB.
+            ft = out.feature_map.reshape(gy, gx * 256, L, K)
+            cbm = cb.astype(mm_dt)
+            buf = jnp.zeros((L * CLIP_D, gy * 16, gx * 16), jnp.bfloat16)
+
+            def body(i, buf):
+                wm = jax.lax.dynamic_index_in_dim(
+                    ft, i, 0, keepdims=False).astype(mm_dt)  # [gx*256, L, K]
+                feats = jnp.einsum(
+                    "qlk,lkd->qld", wm, cbm,
+                    preferred_element_type=jnp.float32)
+                feats = feats * jax.lax.rsqrt(
+                    jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-10)
+                block = feats.astype(jnp.bfloat16).reshape(
+                    gx, 16, 16, L * CLIP_D)
+                block = block.transpose(3, 1, 0, 2).reshape(
+                    L * CLIP_D, 16, gx * 16)
+                return jax.lax.dynamic_update_slice(
+                    buf, block, (0, i * 16, 0))
+
+            buf = jax.lax.fori_loop(0, gy, body, buf)
+            img = buf[:, :dH, :dW]
             return out.rgb, img.reshape(L, CLIP_D, dH, dW), out.total_entries
         return frame_decoded
 
