@@ -426,9 +426,14 @@ def main():
             # and OOMs the 16GB HBM; per-row it is 190MB.
             ft = out.feature_map.reshape(gy, gx * 256, L, K)
             cbm = cb.astype(mm_dt)
-            buf = jnp.zeros((L * CLIP_D, gy * 16, gx * 16), jnp.bfloat16)
+            # Buffer sized EXACTLY [C, dH, dW]: a final crop of a
+            # [C, gy*16, gx*16] buffer would copy the whole multi-GB map
+            # (that copy is what OOM'd the first 1080p attempt). Row
+            # writes clip to the image instead; the ragged last tile-row
+            # is unrolled outside the loop for its static smaller shape.
+            buf = jnp.zeros((L * CLIP_D, dH, dW), jnp.bfloat16)
 
-            def body(i, buf):
+            def row_block(i):
                 wm = jax.lax.dynamic_index_in_dim(
                     ft, i, 0, keepdims=False).astype(mm_dt)  # [gx*256, L, K]
                 feats = jnp.einsum(
@@ -438,14 +443,21 @@ def main():
                     jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-10)
                 block = feats.astype(jnp.bfloat16).reshape(
                     gx, 16, 16, L * CLIP_D)
-                block = block.transpose(3, 1, 0, 2).reshape(
-                    L * CLIP_D, 16, gx * 16)
-                return jax.lax.dynamic_update_slice(
-                    buf, block, (0, i * 16, 0))
+                return block.transpose(3, 1, 0, 2).reshape(
+                    L * CLIP_D, 16, gx * 16)[:, :, :dW]
 
-            buf = jax.lax.fori_loop(0, gy, body, buf)
-            img = buf[:, :dH, :dW]
-            return out.rgb, img.reshape(L, CLIP_D, dH, dW), out.total_entries
+            def body(i, buf):
+                return jax.lax.dynamic_update_slice(
+                    buf, row_block(i), (0, i * 16, 0))
+
+            full_rows = dH // 16
+            buf = jax.lax.fori_loop(0, full_rows, body, buf)
+            if dH % 16:
+                buf = jax.lax.dynamic_update_slice(
+                    buf, row_block(full_rows)[:, :dH % 16, :],
+                    (0, full_rows * 16, 0))
+            return (out.rgb, buf.reshape(L, CLIP_D, dH, dW),
+                    out.total_entries)
         return frame_decoded
 
     CLIP_D = cb_d.shape[-1]
