@@ -433,28 +433,41 @@ def main():
             # is unrolled outside the loop for its static smaller shape.
             buf = jnp.zeros((L * CLIP_D, dH, dW), jnp.bfloat16)
 
-            def row_block(i):
-                wm = jax.lax.dynamic_index_in_dim(
-                    ft, i, 0, keepdims=False).astype(mm_dt)  # [gx*256, L, K]
+            def rows_block(i0, nr):
+                # nr STATIC tile-rows starting at dynamic row i0 ->
+                # [C, nr*16, dW] bf16 (one [nr*gx*256, 64]@[64, 512]
+                # batched matmul per level; nr=4 keeps the MXU fed and
+                # cuts the loop-iteration count 4x vs per-row).
+                wm = jax.lax.dynamic_slice_in_dim(
+                    ft, i0, nr, 0).astype(mm_dt)     # [nr, gx*256, L, K]
+                wm = wm.reshape(nr * gx * 256, L, K)
                 feats = jnp.einsum(
                     "qlk,lkd->qld", wm, cbm,
                     preferred_element_type=jnp.float32)
                 feats = feats * jax.lax.rsqrt(
                     jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-10)
                 block = feats.astype(jnp.bfloat16).reshape(
-                    gx, 16, 16, L * CLIP_D)
-                return block.transpose(3, 1, 0, 2).reshape(
-                    L * CLIP_D, 16, gx * 16)[:, :, :dW]
+                    nr, gx, 16, 16, L * CLIP_D)
+                return block.transpose(4, 0, 2, 1, 3).reshape(
+                    L * CLIP_D, nr * 16, gx * 16)[:, :, :dW]
 
-            def body(i, buf):
-                return jax.lax.dynamic_update_slice(
-                    buf, row_block(i), (0, i * 16, 0))
-
+            RB = 4
             full_rows = dH // 16
-            buf = jax.lax.fori_loop(0, full_rows, body, buf)
-            if dH % 16:
+            nb = full_rows // RB
+
+            def body(b, buf):
+                return jax.lax.dynamic_update_slice(
+                    buf, rows_block(b * RB, RB), (0, b * RB * 16, 0))
+
+            buf = jax.lax.fori_loop(0, nb, body, buf)
+            done = nb * RB
+            if full_rows - done:                     # static leftover rows
                 buf = jax.lax.dynamic_update_slice(
-                    buf, row_block(full_rows)[:, :dH % 16, :],
+                    buf, rows_block(done, full_rows - done),
+                    (0, done * 16, 0))
+            if dH % 16:                              # ragged last tile-row
+                buf = jax.lax.dynamic_update_slice(
+                    buf, rows_block(full_rows, 1)[:, :dH % 16, :],
                     (0, full_rows * 16, 0))
             return (out.rgb, buf.reshape(L, CLIP_D, dH, dW),
                     out.total_entries)
