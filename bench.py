@@ -275,14 +275,17 @@ def main():
     # Scene arrays are jit ARGUMENTS, not closures: closed-over device
     # arrays become inlined constants and blow up the remote compile
     # (~7 minutes measured vs ~1 with args).
-    # LSV2_UNFUSED_QUERY=1: A/B the fused in-blend Gram query against the
-    # plain route (render weight-map tiles, then XLA bf16 einsums). The
-    # fused kernel keeps the [T, P, 192] map out of HBM, but its in-kernel
-    # epilogue competes with the blend for VPU/MXU cycles — which side
-    # wins is an empirical question per load.
-    UNFUSED_QUERY = os.environ.get("LSV2_UNFUSED_QUERY", "0") == "1"
-    if UNFUSED_QUERY:
-        log("unfused-query A/B ENABLED (LSV2_UNFUSED_QUERY=1)")
+    # Query route: UNFUSED (render weight-map tiles, then XLA bf16
+    # einsums) is the measured default — the round-4 A/B put it 1-2.6%
+    # ahead of the fused in-blend query on every load (1080p 9.08 vs
+    # 8.89, 728p exact 16.94 vs 16.61, capped 728p 20.82 vs 20.29): the
+    # fused epilogue competes with the blend for VPU/MXU cycles, while
+    # the separate einsums run at high MXU efficiency and their extra
+    # [T, P, 192] HBM round-trip is cheap (~1.4 GB at 96 GB/s achieved).
+    # LSV2_FUSED_QUERY=1 flips back for A/B.
+    UNFUSED_QUERY = os.environ.get("LSV2_FUSED_QUERY", "0") != "1"
+    if not UNFUSED_QUERY:
+        log("FUSED-query A/B enabled (LSV2_FUSED_QUERY=1)")
     # bf16 operands = the MXU's native pass; CPU XLA (the flow smoke)
     # cannot execute bf16xbf16->f32 dots.
     MM_DT = (jnp.bfloat16 if jax.default_backend() != "cpu"
