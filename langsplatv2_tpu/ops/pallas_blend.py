@@ -494,7 +494,10 @@ def _blend_kernel(
             acc_out[k] = jnp.concatenate(
                 [acc[:, :F16_FEAT_COL], raw, nrm2], axis=1)
         else:
-            acc_out[k] = acc[...]
+            # Accumulation stays f32 in VMEM scratch; only the final HBM
+            # store narrows (feat_bf16 halves the [T, P, C] map's write +
+            # downstream read traffic for the serving query).
+            acc_out[k] = acc[...].astype(acc_out.dtype)
         t_out[k] = t_carry[...]
         return carry
 
@@ -505,7 +508,7 @@ def _blend_kernel(
     jax.jit,
     static_argnames=("grid_x", "grid_y", "mode", "out_channels", "topk",
                      "chunk", "tile_batch", "combined", "rowfmt", "banded",
-                     "bf16_cells", "interpret"),
+                     "bf16_cells", "feat_bf16", "interpret"),
 )
 def blend_tiles_pallas(
     entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] f32 field-major
@@ -526,6 +529,7 @@ def blend_tiles_pallas(
     rowfmt: str = "f32",        # "f32" (parity) | "fast16" (packed serving)
     banded: bool = False,       # fast16: level-banded channel expansion
     bf16_cells: bool = False,   # fast16: bf16 per-entry VPU cell math
+    feat_bf16: bool = False,    # fast16: store the output tiles in bf16
     interpret: bool = False,
 ):
     """Returns (rgb [T, P, 3], feat [T, P, D] | None, final_T [T, P]).
@@ -542,7 +546,8 @@ def blend_tiles_pallas(
         None, None, None, grid_x=grid_x, grid_y=grid_y, mode=mode,
         out_channels=out_channels, topk=topk, chunk=chunk,
         tile_batch=tile_batch, combined=combined, rowfmt=rowfmt,
-        banded=banded, bf16_cells=bf16_cells, interpret=interpret)
+        banded=banded, bf16_cells=bf16_cells, feat_bf16=feat_bf16,
+        interpret=interpret)
 
 
 @functools.partial(
@@ -603,7 +608,7 @@ def _blend_call(
     entry_geom, entry_feat, tile_start, tile_count, tile_ids, bg,
     query_phi, query_gram, query_band, *,
     grid_x, grid_y, mode, out_channels, topk, chunk, tile_batch,
-    combined, rowfmt, banded, bf16_cells, interpret,
+    combined, rowfmt, banded, bf16_cells, interpret, feat_bf16=False,
 ):
     assert not (combined and mode == "dense"), \
         "combined rows carry only 16 feature rows"
@@ -628,6 +633,8 @@ def _blend_call(
         out_width = F16_FEAT_COL + n_raw + n_lvl
     else:
         out_width = acc_width
+    out_dt = jnp.bfloat16 if (feat_bf16 and fast and not query) \
+        else jnp.float32
     geom_w = entry_geom.shape[0]
     feat_w = entry_feat.shape[0]
 
@@ -683,7 +690,7 @@ def _blend_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, out_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, out_width), out_dt),
             jax.ShapeDtypeStruct((n_pad, P, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -693,7 +700,7 @@ def _blend_call(
     t_t = t_t[:n_local]
     final_t = t_t[:, :, 0]                                   # [T, P]
     rgb_col = F16_RGB_COL if fast else RGB_COL
-    rgb = (acc_t[:, :, rgb_col:rgb_col + 3]
+    rgb = (acc_t[:, :, rgb_col:rgb_col + 3].astype(jnp.float32)
            + final_t[..., None] * bg[None, None, :])
     if query:
         n_raw = query_phi.shape[1]

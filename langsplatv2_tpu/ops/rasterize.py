@@ -413,7 +413,12 @@ def _rasterize_pallas(
                 bg, grid_x=grid_x, grid_y=grid_y, mode="quick",
                 out_channels=out_channels, topk=topk, chunk=chunk,
                 rowfmt="fast16", banded=banded,
-                bf16_cells=settings.bf16_cells, interpret=interp)
+                bf16_cells=settings.bf16_cells,
+                # Serving consumers (Gram query, decode) cast the weight
+                # map to bf16 anyway: storing the tiles bf16 halves the
+                # [T, P, C] map's HBM write + read (~2-4 ms/frame at the
+                # reference load). Accumulation stays f32 in VMEM.
+                feat_bf16=True, interpret=interp)
             return _assemble(settings, proj, rgb_t, feat_t, t_t,
                              telemetry_counts, total, live_total)
         rows, wrows = pallas_blend.pack_quick_rows(

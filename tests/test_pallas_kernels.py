@@ -389,11 +389,17 @@ class TestFastPathEndToEnd:
         scale_n = np.abs(nrm2_ref).max() + 1e-6
         # In-kernel matmuls use the same bf16-pass fidelity as the XLA
         # einsum query; only FMA ordering differs.
+        # The unfused reference reads bf16-stored weight-map tiles
+        # (feat_bf16) while the fused kernel sees f32 VMEM values: one
+        # output quantization step of headroom on top of the bf16-einsum
+        # tolerance.
         np.testing.assert_allclose(raw / scale_r, raw_ref / scale_r,
-                                   atol=5e-3)
+                                   atol=1.5e-2)
         np.testing.assert_allclose(nrm2 / scale_n, nrm2_ref / scale_n,
-                                   atol=5e-3)
-        np.testing.assert_allclose(rgb, unfused.rgb, atol=1e-5)
+                                   atol=1.5e-2)
+        # unfused rgb rides the bf16-stored output buffer (feat_bf16):
+        # one quantization step vs the fused path's f32 rgb columns.
+        np.testing.assert_allclose(rgb, unfused.rgb, atol=5e-3)
         assert int(live) == int(np.asarray(live))
 
         # The fused query with bf16 cell math: same answer at the ~1e-2
@@ -517,8 +523,13 @@ class TestBudgetCappedBinning:
             sp._replace(tile_budget=1e-300, tile_budget_cap=256),
             *args, **common)
         np.testing.assert_allclose(capped.rgb, full.rgb, atol=1e-5)
+        # The serving path stores feature tiles in bf16 (feat_bf16): the
+        # capped layout's different chunk boundaries shift f32 accumulation
+        # by ~1e-6, which bf16 output quantization can round across an ulp
+        # (~8e-3 at unit scale) — structural equivalence holds at that
+        # envelope, rgb/transmittance stay f32-tight.
         np.testing.assert_allclose(capped.feature_map, full.feature_map,
-                                   atol=1e-5)
+                                   atol=1e-2)
         np.testing.assert_allclose(capped.final_transmittance,
                                    full.final_transmittance, atol=1e-5)
         assert int(capped.live_total) == int(full.live_total)
