@@ -454,7 +454,10 @@ def main():
                 return block.transpose(4, 0, 2, 1, 3).reshape(
                     L * CLIP_D, nr * 16, gx * 16)[:, :, :dW]
 
-            RB = 4
+            # RB=1 measured fastest on chip (12.68 FPS vs 10.64 at RB=2,
+            # 7.96 at RB=4, profile_decode_rb.py): larger blocks make the
+            # dynamic_update_slice strides worse, not the matmul better.
+            RB = 1
             full_rows = dH // 16
             nb = full_rows // RB
 
