@@ -3,13 +3,13 @@
 # run_chip_queue.sh finishes; pass the pid of that queue to wait on it).
 #
 #   1. capped_stages      — stage attribution of the budget-capped 728p
-#                           frame (bench measured 21.9 FPS vs ~32 ms
-#                           stage model: where do the extra ms live?)
-#   2. capped_stages_cap64 — cap A/B: halving the [T, cap] row gather
-#   3. bf16cells_compile  — verify the log1p f32 fix lets the bf16-cells
+#                           frame
+#   2. bench_unfused      — fused-vs-unfused Gram query A/B
+#   3. bench2             — full bench re-run
+#   4. bf16cells_compile  — verify the log1p f32 fix lets the bf16-cells
 #                           kernel compile on v5e Mosaic (perf already
 #                           measured a dead end; flag must still work)
-#   4. train_bwd          — feature-step backward attribution
+#   5. train_bwd          — feature-step backward attribution
 set -u
 OUT=${OUT:-/tmp/chip_logs}
 mkdir -p "$OUT"
