@@ -78,6 +78,12 @@ class RasterizeSettings(NamedTuple):
     # expansion) in bf16 for 2x lane packing (~1e-2 relative — still inside
     # the fast serving contract). Ignored outside precision="bf16".
     bf16_cells: bool = False
+    # fast16 only: store the [T, P, C] output tiles (feature AND packed RGB
+    # columns) in bf16 — serving consumers cast the weight map to bf16
+    # anyway, and halving the map's HBM write+read is worth ~2-4 ms/frame
+    # at the reference load. Accumulation stays f32 in VMEM. Disable for
+    # f32-exact RGB/feature tiles (quality tests, parity checks).
+    feat_bf16: bool = True
     # When False, the quick-mode feature map is returned in tile layout
     # [T, P, C] (T row-major tiles, P=256 pixels) instead of [C, H, W]:
     # relevancy queries contract the channel axis anyway, so skipping the
@@ -414,11 +420,7 @@ def _rasterize_pallas(
                 out_channels=out_channels, topk=topk, chunk=chunk,
                 rowfmt="fast16", banded=banded,
                 bf16_cells=settings.bf16_cells,
-                # Serving consumers (Gram query, decode) cast the weight
-                # map to bf16 anyway: storing the tiles bf16 halves the
-                # [T, P, C] map's HBM write + read (~2-4 ms/frame at the
-                # reference load). Accumulation stays f32 in VMEM.
-                feat_bf16=True, interpret=interp)
+                feat_bf16=settings.feat_bf16, interpret=interp)
             return _assemble(settings, proj, rgb_t, feat_t, t_t,
                              telemetry_counts, total, live_total)
         rows, wrows = pallas_blend.pack_quick_rows(

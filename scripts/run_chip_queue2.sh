@@ -34,7 +34,7 @@ run capped_stages       1800 python scripts/profile_capped_stages.py
 # cap is 128-lane constrained (no cap-64 layout); the speed A/B below is
 # fused-vs-unfused query instead, and a full bench re-run picks up the
 # reworked 512-d decode path (decode_728p_fps).
-run bench_unfused       1800 env LSV2_UNFUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
+run bench_fused       1800 env LSV2_FUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
 run bench2              2700 python bench.py
 run bf16cells_compile    900 python scripts/check_bf16cells_compile.py
 run train_bwd           1800 python scripts/profile_train_bwd.py

@@ -15,7 +15,7 @@ run() {
   echo "=== $name exit $rc ==="
 }
 run bench3            2700 python bench.py
-run bench_unfused     1800 env LSV2_UNFUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
+run bench_fused     1800 env LSV2_FUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
 run bf16cells_compile  900 python scripts/check_bf16cells_compile.py
 run train_bwd         1800 python scripts/profile_train_bwd.py
 echo "queue3 done"

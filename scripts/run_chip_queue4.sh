@@ -18,5 +18,5 @@ run() {
   echo "=== $name exit $rc ==="
 }
 run bench4            2700 python bench.py
-run bench_unfused     1800 env LSV2_UNFUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
+run bench_fused     1800 env LSV2_FUSED_QUERY=1 LSV2_BENCH_STAGES=0 LSV2_BENCH_SERVE=0 python bench.py
 echo "queue4 done"

@@ -16,6 +16,9 @@ RGB_CKPT=${RGB_CKPT:-"${OUT}_-1/chkpnt30000.npz"}
 # uncrossable budget, IoU-pinned at serving budgets). TILE_BUDGET=0
 # restores exact reference semantics.
 TILE_BUDGET=${TILE_BUDGET:-1e-6}
+if [ "$TILE_BUDGET" != "0" ]; then
+  echo "NOTICE: TILE_BUDGET=$TILE_BUDGET — approximate budget-capped binning is ACTIVE (TILE_BUDGET=0 restores exact reference semantics)." >&2
+fi
 
 python "$(dirname "$0")/train.py" \
   -s "$SCENE" -m "$OUT" \
