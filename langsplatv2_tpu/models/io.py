@@ -144,9 +144,28 @@ def load_checkpoint(path: str, model_template: GaussianModel, opt_state_template
 
 
 def load_checkpoint_auto(path: str, sh_degree: int = 3):
-    """Template-free restore of the model part. Returns (model, iteration)."""
+    """Template-free restore of the model part. Returns (model, iteration).
+
+    Dispatches on extension: ``.pth``/``.pt`` loads a reference-produced
+    torch checkpoint (the capture 12/14-tuple, gaussian_model.py:67-139);
+    anything else is our native npz."""
+    if path.endswith((".pth", ".pt")):
+        from .torch_interop import load_torch_checkpoint
+        model, iteration, _ = load_torch_checkpoint(
+            path, max_sh_degree=sh_degree)
+        return model, iteration
     model, iteration, _, _ = _load_parts(path)
     return model, iteration
+
+
+def resolve_checkpoint(dirpath: str, iteration: int) -> str:
+    """Find ``chkpnt<iteration>`` in a model dir: native .npz first, then
+    the reference's .pth — evals/serve accept either artifact."""
+    for ext in (".npz", ".pth", ".pt"):
+        p = os.path.join(dirpath, f"chkpnt{iteration}{ext}")
+        if os.path.exists(p):
+            return p
+    return os.path.join(dirpath, f"chkpnt{iteration}.npz")
 
 
 def _load_parts(path: str):

@@ -33,12 +33,13 @@ def main():
 
     from langsplatv2_tpu.eval.lerf import merge_level_models
     from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
-    from langsplatv2_tpu.models.io import load_checkpoint_auto
+    from langsplatv2_tpu.models.io import (load_checkpoint_auto,
+                                           resolve_checkpoint)
     from langsplatv2_tpu.serve.backend import BackendRenderer
 
     models = []
     for path in args.ckpt_paths:
-        ckpt = os.path.join(path, f"chkpnt{args.iteration}.npz")
+        ckpt = resolve_checkpoint(path, args.iteration)
         model, _ = load_checkpoint_auto(ckpt)
         models.append(model)
     merged = merge_level_models(models, topk=args.topk)

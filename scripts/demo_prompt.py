@@ -30,12 +30,13 @@ def main():
     from langsplatv2_tpu.eval.lerf import (
         merge_level_models, render_language_feature_map_quick)
     from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
-    from langsplatv2_tpu.models.io import load_checkpoint_auto
+    from langsplatv2_tpu.models.io import (load_checkpoint_auto,
+                                           resolve_checkpoint)
     from langsplatv2_tpu.models.renderer import make_settings, render
     from langsplatv2_tpu.scene.scene import Scene
 
     models = [load_checkpoint_auto(
-        os.path.join(p, f"chkpnt{args.iteration}.npz"))[0]
+        resolve_checkpoint(p, args.iteration))[0]
         for p in args.ckpt_paths]
     merged = merge_level_models(models, topk=args.topk)
 

@@ -28,7 +28,8 @@ def main():
 
     from langsplatv2_tpu.eval import lerf, mip360
     from langsplatv2_tpu.eval.openclip import OpenCLIPNetwork
-    from langsplatv2_tpu.models.io import load_checkpoint_auto
+    from langsplatv2_tpu.models.io import (load_checkpoint_auto,
+                                           resolve_checkpoint)
     from langsplatv2_tpu.scene.scene import Scene
 
     scene_dir = os.path.join(args.path_root, args.dataset_name)
@@ -38,9 +39,10 @@ def main():
 
     models = []
     for level in args.levels:
-        ckpt = os.path.join(args.ckpt_root,
-                            f"{args.dataset_name}_{args.index}_{level}",
-                            f"chkpnt{args.iteration}.npz")
+        ckpt = resolve_checkpoint(
+            os.path.join(args.ckpt_root,
+                         f"{args.dataset_name}_{args.index}_{level}"),
+            args.iteration)
         models.append(load_checkpoint_auto(ckpt)[0])
     merged = lerf.merge_level_models(models, topk=args.topk)
 

@@ -210,6 +210,14 @@ def main():
             return None
         template = make_opt().init(make_params(model))
         try:
+            if resume_ckpt_path.endswith((".pth", ".pt")):
+                # Reference torch checkpoint: convert its Adam state dict
+                # into our per-group optax moments.
+                from langsplatv2_tpu.models.torch_interop import (
+                    convert_torch_adam_state, load_torch_checkpoint)
+                _, _, opt_dict = load_torch_checkpoint(resume_ckpt_path)
+                return convert_torch_adam_state(
+                    opt_dict, template, model.capacity)
             _, opt_state, _, _ = mio.load_checkpoint(
                 resume_ckpt_path, model, template)
             return opt_state
