@@ -783,6 +783,162 @@ def main():
         traceback.print_exc(file=sys.stderr)
         log("capped-mode bench failed; continuing with exact numbers")
 
+    # Temporal-coherence serving (round-5, ops/temporal.py): freeze the
+    # budget-capped binning at a reference pose, then render steady frames
+    # along a smooth camera path with ONLY the dense per-entry EWA + blend
+    # + fused query — no expansion / sort / budget / slice / gather (the
+    # measured majority of the capped frame). Reports the steady-frame
+    # device rate, the rebin (bin-frame) rate, the effective rate at a
+    # rebin-every-10 policy, and the error-vs-pose-delta curve that
+    # justifies the serving threshold (relevancy max|err| + mask IoU vs a
+    # fresh capped render at the same pose).
+    fps_t_steady = fps_t_bin = fps_t_eff = 0.0
+    temporal_err_curve = None
+    elapsed = time.time() - t_start
+    if os.environ.get("LSV2_BENCH_TEMPORAL", "1") == "0":
+        pass
+    elif elapsed > float(os.environ.get("LSV2_BENCH_SERVE_DEADLINE", "2700")):
+        log(f"skipping temporal bench: {elapsed:.0f}s elapsed")
+    else:
+        try:
+            from langsplatv2_tpu.ops import temporal as temporal_ops
+
+            tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-6"))
+            tcap = int(os.environ.get("LSV2_TILE_CAP", "128"))
+            tsub = int(os.environ.get("LSV2_TILE_SUBDIV", "2"))
+            tset = frame_lerf_settings._replace(
+                tile_budget=tb, tile_budget_cap=tcap,
+                tile_budget_subdiv=tsub)
+
+            @jax.jit
+            def bin_cache_fn(view, proj, means, op, sc, rot, col, qw, qi):
+                cache, _ = temporal_ops.quick_bin_cache(
+                    tset, means, op, view, proj, jnp.zeros(3, jnp.float32),
+                    scales=sc, rotations=rot, colors_precomp=col,
+                    quick_weights=qw, quick_indices=qi)
+                return cache
+
+            t0 = time.time()
+            tc_cache = jax.block_until_ready(
+                bin_cache_fn(view, lproj, *scene_args[:7]))
+            log(f"temporal bin-frame compile+first: {time.time() - t0:.1f}s")
+
+            # Smooth orbit: per-frame yaw of ~2 px at the 728p load.
+            lf_px = 0.5 * lW / math.tan(lfovx / 2)
+
+            def pose_at(theta):
+                c, s = math.cos(theta), math.sin(theta)
+                rot_w2c = np.asarray(w2c).copy()
+                ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                              np.float32)
+                rot_w2c[:3, :3] = ry @ rot_w2c[:3, :3]
+                v = jnp.asarray(rot_w2c.T, jnp.float32)
+                p = jnp.asarray(
+                    rot_w2c.T @ get_projection_matrix(
+                        0.01, 100, lfovx, fovy).T, jnp.float32)
+                return v, p
+
+            step = 2.0 / lf_px
+            path = [pose_at(step * (i + 1)) for i in range(KREP)]
+            views_t = jnp.stack([v for v, _ in path])
+            projs_t = jnp.stack([p for _, p in path])
+
+            @jax.jit
+            def steady_scan(cache, views, projs, phi, gram):
+                def body(carry, vp):
+                    v, p = vp
+                    rgb_t, raw, nrm2, _t = \
+                        temporal_ops.rasterize_quick_steady(
+                            tset, cache, v, p, jnp.zeros(3, jnp.float32),
+                            quick_channels=L * K, topk=L * TOPK,
+                            phi=phi, gram=gram)
+                    return carry + rgb_t[0, 0, 0] + raw[0, 0, 0], 0.0
+
+                acc, _ = jax.lax.scan(body, 0.0, (views, projs))
+                return acc
+
+            t0 = time.time()
+            acc = steady_scan(tc_cache, views_t, projs_t, phi_d, gram_d)
+            _ = float(acc)
+            log(f"temporal steady scan compile+first: {time.time() - t0:.1f}s")
+
+            def _run_steady():
+                a = steady_scan(tc_cache, views_t, projs_t, phi_d, gram_d)
+                _ = float(a)
+
+            fps_t_steady, tmn, tmx = scan_band("temporal_steady_728p_fps",
+                                               _run_steady)
+            log(f"temporal steady frames (986x728, frozen binning): "
+                f"{fps_t_steady:.2f} FPS [{tmn:.2f}..{tmx:.2f}]")
+
+            # Bin-frame rate (host-dispatch; the binning pipeline dominates
+            # so dispatch overhead is secondary here).
+            NB = 5
+            t0 = time.time()
+            for i in range(NB):
+                tc2 = bin_cache_fn(views_t[i], projs_t[i], *scene_args[:7])
+            jax.block_until_ready(tc2)
+            fps_t_bin = NB / (time.time() - t0)
+            fps_t_eff = 10.0 / (9.0 / fps_t_steady + 1.0 / fps_t_bin)
+            log(f"temporal rebin frames: {fps_t_bin:.2f} FPS; effective at "
+                f"rebin-every-10: {fps_t_eff:.2f} FPS")
+
+            # Error-vs-pose-delta: relevancy map of a steady frame at
+            # delta px vs a FRESH capped render at the same pose.
+            def relev_of(raw_t, nrm2_t):
+                t, p, _ = raw_t.shape
+                raw = np.asarray(raw_t).reshape(t * p, L, NPOS + NNEG)
+                nrm = np.sqrt(np.maximum(
+                    np.asarray(nrm2_t).reshape(t * p, L), 0.0))
+                sim = raw / (nrm[..., None] + 1e-10)
+                pos, neg = sim[..., :NPOS], sim[..., NPOS:]
+                pair = np.stack([
+                    np.broadcast_to(pos[..., None], pos.shape + (NNEG,)),
+                    np.broadcast_to(neg[:, :, None, :],
+                                    pos.shape + (NNEG,))], axis=-1)
+                ex = np.exp(10.0 * (pair - pair.max(-1, keepdims=True)))
+                return (ex[..., 0] / ex.sum(-1)).min(-1)
+
+            from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
+            @jax.jit
+            def steady_q(cache, v, p, phi, gram):
+                return temporal_ops.rasterize_quick_steady(
+                    tset, cache, v, p, jnp.zeros(3, jnp.float32),
+                    quick_channels=L * K, topk=L * TOPK, phi=phi,
+                    gram=gram)
+
+            @jax.jit
+            def fresh_q(v, p, means, op, sc, rot, col, qw, qi, phi, gram):
+                return rasterize_quick_query(
+                    tset, means, op, v, p, jnp.zeros(3, jnp.float32),
+                    jnp.zeros(3, jnp.float32), scales=sc, rotations=rot,
+                    colors_precomp=col, quick_weights=qw, quick_indices=qi,
+                    phi=phi, gram=gram, quick_channels=L * K)
+
+            temporal_err_curve = []
+            for px in (1.0, 2.0, 4.0, 8.0, 16.0):
+                v, p = pose_at(px / lf_px)
+                _, raw_s, nrm_s, _ = steady_q(tc_cache, v, p, phi_d, gram_d)
+                fq = fresh_q(v, p, *scene_args[:7], phi_d, gram_d)
+                raw_f, nrm_f = fq[1], fq[2]
+                r_s, r_f = relev_of(raw_s, nrm_s), relev_of(raw_f, nrm_f)
+                m_s, m_f = r_s > 0.5, r_f > 0.5
+                union = np.logical_or(m_s, m_f).sum()
+                iou = (np.logical_and(m_s, m_f).sum() / union
+                       if union else 1.0)
+                d = np.abs(r_s - r_f)
+                temporal_err_curve.append({
+                    "px": px, "max_err": round(float(d.max()), 4),
+                    "mean_err": round(float(d.mean()), 6),
+                    "mask_iou": round(float(iou), 4)})
+                log(f"temporal err @ {px:4.1f}px: max {d.max():.4f} "
+                    f"mean {d.mean():.6f} IoU {iou:.4f}")
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            log("temporal bench failed; continuing")
+
     # Serve-loop FPS (VERDICT round-3 #8): the real BackendRenderer
     # dispatch/finalize seam at the reference load — device-composited u8
     # heatmap frames + host JPEG encode, synchronous (REQ/REP semantics)
@@ -896,6 +1052,12 @@ def main():
         "serve_sync_fps": round(serve_sync_fps, 2),
         "serve_pipelined_fps": round(serve_pipe_fps, 2),
         "serve_static_pose_fps": round(serve_static_fps, 2),
+        # Temporal-coherence serving (frozen [T, cap] binning, steady
+        # frames = dense EWA + blend + fused query only).
+        "temporal_steady_728p_fps": round(fps_t_steady, 2),
+        "temporal_rebin_fps": round(fps_t_bin, 2),
+        "temporal_eff_fps_rebin10": round(fps_t_eff, 2),
+        "temporal_err_curve": temporal_err_curve,
         # [min, median, max] FPS over the repeated on-device loops —
         # the window-variance band, in the artifact itself.
         "bands": bands,

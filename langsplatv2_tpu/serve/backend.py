@@ -81,7 +81,9 @@ class BackendRenderer:
                  tile_budget: float = 0.0, tile_budget_cap: int = 128,
                  tile_budget_subdiv: int = 2,
                  compose: str = "host",
-                 pose_cache: bool = True):
+                 pose_cache: bool = True,
+                 temporal_reuse_px: float = 0.0,
+                 reuse_zref: float = 2.0):
         self.model = model
         self.background = np.asarray(background, np.float32)
         self.clip_model = clip_model or OpenCLIPNetwork()
@@ -120,7 +122,24 @@ class BackendRenderer:
         self._pose_entry: dict[str, Any] | None = None
         self._jpeg_key: tuple | None = None
         self._jpeg_bytes: bytes | None = None
-        self.cache_hits = {"pose": 0, "jpeg": 0, "miss": 0}
+        # Temporal-coherence binning reuse (ops/temporal.py): when the
+        # estimated image motion since the last bin frame stays under
+        # temporal_reuse_px, the frame reuses the frozen [T, cap] binning
+        # and runs ONLY the dense EWA + blend — no expansion, sort, budget
+        # scan, or gather (the measured majority of the capped frame).
+        # 0 disables (every frame re-bins, exact capped semantics).
+        # Requires the budget-capped serving mode (tile_budget > 0).
+        if temporal_reuse_px > 0.0 and tile_budget <= 0.0:
+            raise ValueError(
+                "temporal_reuse_px needs the budget-capped serving mode "
+                "(tile_budget > 0)")
+        self.temporal_reuse_px = temporal_reuse_px
+        self.reuse_zref = reuse_zref
+        self._tc_cache = None          # ops.temporal.BinCache (device)
+        self._tc_c2w: np.ndarray | None = None    # bin pose
+        self._tc_key: tuple | None = None          # (w, h, fovy)
+        self.cache_hits = {"pose": 0, "jpeg": 0, "miss": 0,
+                           "steady": 0, "rebin": 0}
 
     # -- camera construction (reference backend_renderer.py:130-159) --
     def _camera(self, c2w: np.ndarray, width: int, height: int, fov_y: float):
@@ -255,6 +274,94 @@ class BackendRenderer:
         self._frame_cache[key] = hit
         return hit
 
+    # -- temporal-coherence frames (ops/temporal.py binning reuse) --
+    def _tc_frame_fns(self, settings, heatmap: bool):
+        """(bin_frame, steady_frame) jits for the temporal serving mode.
+
+        bin_frame re-bins at the request pose and returns the frozen
+        BinCache alongside the frame; steady_frame renders against a
+        cached binning with ONLY the dense EWA + blend (no expansion /
+        sort / budget / slice / gather — the measured majority of the
+        capped frame). Reference use case: backend_renderer.py:161-246."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("tc", settings, heatmap, self.compose)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
+        compose_dev = self.compose == "device"
+        L, K, _ = self.model.codebooks.shape
+        topk = int(self.model.quick_weights.shape[1])
+        from ..ops import temporal
+        from ..ops import rasterize_tiles
+
+        H, W = settings.image_height, settings.image_width
+        gx, gy = settings.grid_x, settings.grid_y
+
+        def tail(rgb_t, feat_t, phi, gram, threshold):
+            rgb = rasterize_tiles.tiles_to_image(
+                rgb_t, gx, gy, H, W).transpose(1, 2, 0)
+            if not heatmap:
+                return rgb, None, rgb, None
+            wm16 = rasterize_tiles.tiles_to_image(
+                feat_t.astype(jnp.bfloat16), gx, gy, H, W)
+            vis, sim = BackendRenderer._query_compose(
+                rgb, wm16, phi, gram, threshold, L, K, compose_dev)
+            return vis, sim, rgb, wm16
+
+        @jax.jit
+        def bin_frame(model, view, full, campos, bg, phi, gram, threshold):
+            cache, _ = temporal.quick_bin_cache(
+                settings, model.xyz, model.get_opacity(), view, full,
+                campos, scales=model.get_scaling(),
+                rotations=model.get_rotation(), shs=model.get_features(),
+                quick_weights=model.quick_weights,
+                quick_indices=model.quick_indices)
+            rgb_t, feat_t, _ = temporal.rasterize_quick_steady(
+                settings, cache, view, full, bg, quick_channels=L * K,
+                topk=topk)
+            return (*tail(rgb_t, feat_t, phi, gram, threshold), cache)
+
+        @jax.jit
+        def steady_frame(cache, view, full, bg, phi, gram, threshold):
+            rgb_t, feat_t, _ = temporal.rasterize_quick_steady(
+                settings, cache, view, full, bg, quick_channels=L * K,
+                topk=topk)
+            return tail(rgb_t, feat_t, phi, gram, threshold)
+
+        self._frame_cache[key] = (bin_frame, steady_frame)
+        return bin_frame, steady_frame
+
+    def _tc_dispatch(self, settings, heatmap, c2w, width, height, fov_y,
+                     view, full, campos, phi, gram, threshold):
+        """Temporal-mode dispatch: steady frame when the estimated image
+        motion since the bin pose is under temporal_reuse_px, else re-bin
+        (and refresh the frozen binning)."""
+        import jax.numpy as jnp
+        from ..ops import temporal
+
+        bin_frame, steady_frame = self._tc_frame_fns(settings, heatmap)
+        bg = jnp.asarray(self.background)
+        geo_key = (width, height, round(fov_y, 9), heatmap)
+        fov_x = 2 * np.arctan(np.tan(fov_y / 2) * (width / height))
+        if (self._tc_cache is not None and self._tc_key == geo_key
+                and temporal.motion_px(self._tc_c2w, c2w, width, fov_x,
+                                       self.reuse_zref)
+                <= self.temporal_reuse_px):
+            self.cache_hits["steady"] += 1
+            vis, sim, raw_rgb, wm16 = steady_frame(
+                self._tc_cache, jnp.asarray(view), jnp.asarray(full), bg,
+                phi, gram, jnp.float32(threshold))
+        else:
+            self.cache_hits["rebin"] += 1
+            vis, sim, raw_rgb, wm16, cache = bin_frame(
+                self.model, jnp.asarray(view), jnp.asarray(full),
+                jnp.asarray(campos), bg, phi, gram, jnp.float32(threshold))
+            self._tc_cache = cache
+            self._tc_c2w = np.array(c2w, np.float32)
+            self._tc_key = geo_key
+        return vis, sim, raw_rgb, wm16
+
     # -- dispatch / finalize (the double-buffering seam) --
     def dispatch_request(self, request: dict) -> PendingFrame:
         """Enqueue one request's device work; returns without any host
@@ -299,12 +406,17 @@ class BackendRenderer:
                 composited=heatmap and self.compose == "device",
                 threshold=threshold)
 
-        self.cache_hits["miss"] += 1
-        frame = self._frame_fn(settings, heatmap)
-        vis, sim, raw_rgb, wm16 = frame(
-            self.model, jnp.asarray(view), jnp.asarray(full),
-            jnp.asarray(campos), jnp.asarray(self.background),
-            phi, gram, jnp.float32(threshold))
+        if self.temporal_reuse_px > 0.0:
+            vis, sim, raw_rgb, wm16 = self._tc_dispatch(
+                settings, heatmap, c2w, width, height, fov_y,
+                view, full, campos, phi, gram, threshold)
+        else:
+            self.cache_hits["miss"] += 1
+            frame = self._frame_fn(settings, heatmap)
+            vis, sim, raw_rgb, wm16 = frame(
+                self.model, jnp.asarray(view), jnp.asarray(full),
+                jnp.asarray(campos), jnp.asarray(self.background),
+                phi, gram, jnp.float32(threshold))
         if self.pose_cache_enabled:
             self._pose_key = pose_key
             self._pose_entry = {"rgb": raw_rgb, "wm16": wm16}

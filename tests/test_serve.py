@@ -219,3 +219,48 @@ class TestBackend:
         np.testing.assert_allclose(
             off.render_request(req("blue box")), hit1, atol=1e-6)
         assert off.cache_hits["pose"] == 0
+
+
+class TestTemporalServing:
+    def test_temporal_reuse_matches_full_render(self, merged_model):
+        """Temporal binning reuse through the server path: nearby-pose
+        requests take the steady path and stay within the approximation
+        envelope of a full re-binned render; the rebin/steady counters
+        pin which path actually ran."""
+        def req(dx, prompt=True):
+            c2w = np.eye(4)
+            c2w[0, 3] = dx
+            return {"c2w": c2w.tolist(), "width": 96, "height": 64,
+                    "fov_y": math.radians(60), "prompt": "red car",
+                    "show_heatmap": prompt, "threshold": -10.0}
+
+        tc = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256,
+            tile_budget=1e-6, tile_budget_cap=128,
+            temporal_reuse_px=8.0, reuse_zref=2.0, pose_cache=False)
+        full = BackendRenderer(
+            merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+            max_entries=2 ** 12, tile_cap=256,
+            tile_budget=1e-6, tile_budget_cap=128, pose_cache=False)
+
+        img0 = tc.render_request(req(0.0))
+        assert tc.cache_hits["rebin"] == 1
+        np.testing.assert_allclose(img0, full.render_request(req(0.0)),
+                                   atol=1e-5)
+
+        # ~0.005 world units at z_ref 2 -> ~0.2 px: steady path.
+        img1 = tc.render_request(req(0.005))
+        assert tc.cache_hits["steady"] == 1
+        d = np.abs(img1 - full.render_request(req(0.005)))
+        assert d.mean() < 2e-2 and np.isfinite(img1).all(), d.mean()
+
+        # A large jump must re-bin.
+        tc.render_request(req(2.0))
+        assert tc.cache_hits["rebin"] == 2
+
+    def test_temporal_requires_capped_mode(self, merged_model):
+        with pytest.raises(ValueError):
+            BackendRenderer(
+                merged_model, clip_model=OpenCLIPNetwork(backend="hash"),
+                temporal_reuse_px=4.0)
