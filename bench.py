@@ -716,9 +716,13 @@ def main():
         tb = float(os.environ.get("LSV2_TILE_BUDGET", "1e-6"))
         tcap = int(os.environ.get("LSV2_TILE_CAP", "128"))
         tsub = int(os.environ.get("LSV2_TILE_SUBDIV", "2"))
+        # Capped-mode exact-cull threshold (settings.cull_alpha): the
+        # IoU-gated default for the approximate serving mode is decided by
+        # the on-chip A/B (LSV2_CULL_ALPHA to override).
+        tca = float(os.environ.get("LSV2_CULL_ALPHA", str(1.0 / 255.0)))
         frame_capped = make_frame(settings._replace(
             tile_budget=tb, tile_budget_cap=tcap,
-            tile_budget_subdiv=tsub))
+            tile_budget_subdiv=tsub, cull_alpha=tca))
 
         @jax.jit
         def frames_scan_capped(view, proj, eps, *scene):

@@ -60,7 +60,7 @@ GAUSS_MASK = (1 << 20) - 1
 def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
                    *rest, n_gauss_cols: int, max_windows: int, n_progs: int,
                    sentinel_tile: int, exact_cull: bool, with_alpha: int,
-                   group: int):
+                   group: int, inv_cull_alpha: float):
     n_alpha = with_alpha * with_alpha
     alpha_out = rest[:n_alpha]
     big_buf, big_sem, spill_buf, spill_sem = rest[n_alpha:]
@@ -97,7 +97,7 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
             gauss_out, alpha_out, big_buf.at[p % 2], base, spill_buf,
             spill_sem, n_gauss_cols=n_gauss_cols, max_windows=max_windows,
             sentinel_tile=sentinel_tile, exact_cull=exact_cull,
-            subdiv=with_alpha)
+            subdiv=with_alpha, inv_cull_alpha=inv_cull_alpha)
         return 0
 
     lax.fori_loop(0, group, body, 0)
@@ -106,7 +106,8 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
 def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
                       gauss_out, alpha_out, big, base, spill_buf, spill_sem,
                       *, n_gauss_cols: int, max_windows: int,
-                      sentinel_tile: int, exact_cull: bool, subdiv: int = 0):
+                      sentinel_tile: int, exact_cull: bool, subdiv: int = 0,
+                      inv_cull_alpha: float = 255.0):
     e0 = c * CHUNK
     gs = g_start_ref[c]
     gsf = (gs // LANE) * LANE              # 128-aligned sweep origin (>= base)
@@ -229,9 +230,12 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         lx = tile_x * float(BLOCK) - cx              # box in mean-relative px
         ly = tile_y * float(BLOCK) - cy
         q_min = box_qmin(lx, lx + float(BLOCK - 1), ly, ly + float(BLOCK - 1))
-        # alpha_max = op * exp(-q_min/2) >= 1/255, with a conservative
-        # epsilon so float-rounding never culls a borderline survivor.
-        thresh = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0) + 1e-4
+        # alpha_max = op * exp(-q_min/2) >= cull_alpha (1/255 = the
+        # output-preserving blend-mask bound; larger = the opt-in capped-
+        # mode approximation), with a conservative epsilon so float
+        # rounding never culls a borderline survivor.
+        thresh = 2.0 * jnp.log(
+            jnp.maximum(op, 1e-12) * inv_cull_alpha) + 1e-4
         owned = owned & (q_min <= thresh)
 
     tile_out[g] = jnp.where(owned, tile, float(sentinel_tile)).astype(jnp.int32)
@@ -263,7 +267,7 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_x", "grid_y", "max_entries", "max_windows", "exact_cull",
-    "with_alpha", "group", "interpret"))
+    "with_alpha", "group", "interpret", "cull_alpha"))
 def expand_entries_pallas(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -281,6 +285,9 @@ def expand_entries_pallas(
                                # capped binning's bound
     group: int = 16,          # chunks per grid program (overhead amortizer)
     interpret: bool = False,
+    cull_alpha: float = 1.0 / 255.0,  # exact-cull alpha threshold (> 1/255
+                                      # = the capped-mode approximation;
+                                      # match the preprocess rect bound)
 ):
     """Expand gaussians to per-entry (tile_id, depth, gauss_id).
 
@@ -349,7 +356,8 @@ def expand_entries_pallas(
     kernel = functools.partial(
         _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
         n_progs=n_progs, sentinel_tile=grid_x * grid_y,
-        exact_cull=exact_cull, with_alpha=with_alpha, group=group)
+        exact_cull=exact_cull, with_alpha=with_alpha, group=group,
+        inv_cull_alpha=1.0 / cull_alpha)
 
     n_outs = 3 + with_alpha * with_alpha
     out_dtypes = ([jnp.int32, jnp.float32, jnp.int32]

@@ -56,6 +56,9 @@ def project_gaussians(
     image_height: int,
     scale_modifier: float = 1.0,
     opacities: jnp.ndarray | None = None,  # [N] activated (tight-rect bound)
+    cull_alpha: float = 1.0 / 255.0,  # tight-rect alpha threshold; > 1/255
+                                      # is an opt-in approximation (capped
+                                      # serving mode) — see RasterizeSettings
 ):
     """Project means and covariances. Returns (xy, depth, conic, radius-ish
     internals) packaged by `preprocess` below; split out for testability."""
@@ -165,8 +168,8 @@ def project_gaussians(
     # which can ever pass the blend's alpha >= 1/255 mask, so binning
     # shrinks with bit-identical rendered output (ceil + 1px guard absorbs
     # float rounding).
-    two_l = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
-    dead = two_l <= 0.0  # opacity < 1/255 never blends anywhere
+    two_l = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) / cull_alpha)
+    dead = two_l <= 0.0  # opacity < cull_alpha never blends anywhere
     ext_x = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * a, 0.0))) + 1.0
     ext_y = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * c, 0.0))) + 1.0
     ext_x = jnp.where(dead, 0.0, jnp.minimum(radius_f, ext_x))
@@ -239,11 +242,13 @@ def preprocess(
     sh_degree: int,
     scale_modifier: float = 1.0,
     opacities=None,
+    cull_alpha: float = 1.0 / 255.0,
 ) -> ProjectedGaussians:
     xy, depth, conic, radius, ext_x, ext_y = project_gaussians(
         means3d, scales, rotations, cov3d_precomp,
         viewmatrix, projmatrix, tanfovx, tanfovy,
         image_width, image_height, scale_modifier, opacities=opacities,
+        cull_alpha=cull_alpha,
     )
     rect_min, rect_max, tiles = tile_rect(
         xy, radius, image_width, image_height, ext_x=ext_x, ext_y=ext_y)

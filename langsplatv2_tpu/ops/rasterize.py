@@ -126,6 +126,18 @@ class RasterizeSettings(NamedTuple):
     # error on an opaque scene at budget 1e-8: subdiv 1 ~ 5e-1 max,
     # subdiv 2 ~ 9e-2, subdiv 4 ~ 1e-2).
     tile_budget_subdiv: int = 2
+    # Exact-cull alpha threshold for the Pallas serving paths. 1/255 (the
+    # default) is OUTPUT-PRESERVING: it drops only (gaussian, tile)
+    # entries that can never pass the blend's alpha >= 1/255 mask. Larger
+    # values are an OPT-IN approximation for the budget-capped serving
+    # mode: entries whose maximum possible alpha anywhere in their tile is
+    # below cull_alpha are dropped at expansion (and the preprocess tile
+    # rects shrink to the same bound), cutting the entry count — and with
+    # it the expand/sort/budget stages, the measured majority of the
+    # capped frame — by ~ln(op/tau')/ln(op*255). Per-pixel bias is
+    # bounded by the sum of dropped alphas; the quality gate is the same
+    # relevancy-mask IoU >= 0.95 pin as tile_budget's.
+    cull_alpha: float = 1.0 / 255.0
 
     @property
     def grid_x(self) -> int:
@@ -351,6 +363,7 @@ def _rasterize_pallas(
         settings.tanfovx, settings.tanfovy, W, H,
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0],   # opacity-aware tight tile rects
+        cull_alpha=settings.cull_alpha,
     )
 
     if settings.binning == "cascade" and features is None:
@@ -466,7 +479,8 @@ def _sorted_quick_binning(settings, proj, opacities, interp):
     num_tiles = grid_x * grid_y
     tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,
-        opacities=opacities[:, 0], exact_cull=True, interpret=interp)
+        opacities=opacities[:, 0], exact_cull=True,
+        cull_alpha=settings.cull_alpha, interpret=interp)
     keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     g_sorted, tile_start, tile_count, _ = \
         pallas_binning.sorted_binning_from_keys(keys, num_tiles)
@@ -508,7 +522,7 @@ def _capped_quick_binning(settings, proj, opacities, interp):
     tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,
         opacities=opacities[:, 0], exact_cull=True, with_alpha=subdiv,
-        interpret=interp)
+        cull_alpha=settings.cull_alpha, interpret=interp)
     keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
     words = pallas_binning.pack_lm_words(lms)
     g_sorted, tile_start, tile_count, _tile_sorted, words_s = \
@@ -586,7 +600,7 @@ def rasterize_quick_query(
         viewmatrix, projmatrix, campos,
         settings.tanfovx, settings.tanfovy, W, H,
         settings.sh_degree, settings.scale_modifier,
-        opacities=opacities[:, 0])
+        opacities=opacities[:, 0], cull_alpha=settings.cull_alpha)
 
     if settings.tile_budget > 0.0:
         (g_used, tile_start, tile_count, _kept_full, total,

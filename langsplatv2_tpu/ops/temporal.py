@@ -122,7 +122,7 @@ def quick_bin_cache(
         viewmatrix, projmatrix, campos,
         settings.tanfovx, settings.tanfovy, W, H,
         settings.sh_degree, settings.scale_modifier,
-        opacities=opacities[:, 0])
+        opacities=opacities[:, 0], cull_alpha=settings.cull_alpha)
 
     (g2, _dense_start, kept, kept_full, total, live_total) = \
         _capped_quick_binning(settings, proj, opacities, interp)

@@ -43,6 +43,7 @@ def main():
     cap = int(os.environ.get("LSV2_CAP", 128))
     subdiv = int(os.environ.get("LSV2_SUBDIV", 2))
     max_entries = int(os.environ.get("LSV2_MAX_ENTRIES", 2_600_000))
+    cull_alpha = float(os.environ.get("LSV2_CULL_ALPHA", 1.0 / 255.0))
     gx, gy = -(-w // 16), -(-h // 16)
     num_tiles = gx * gy
     chunk = 256
@@ -52,7 +53,7 @@ def main():
     n_box = subdiv * subdiv
     log(f"load: {n} gaussians, {w}x{h} ({num_tiles} tiles), "
         f"budget {budget_t}, cap {cap}, subdiv {subdiv}, "
-        f"max_entries {max_entries}")
+        f"max_entries {max_entries}, cull_alpha {cull_alpha:g}")
 
     rng = np.random.default_rng(0)
     means = jnp.asarray(np.concatenate([
@@ -90,7 +91,7 @@ def main():
         proj = projection.preprocess(
             means, scales, rots, None, None, cols, view_i, projm,
             jnp.zeros(3), math.tan(fovx / 2), math.tan(fovy / 2), w, h,
-            0, 1.0, opacities=ops[:, 0])
+            0, 1.0, opacities=ops[:, 0], cull_alpha=cull_alpha)
         if stage == "preprocess":
             return jnp.sum(proj.xy) + jnp.sum(proj.conic)
         rows = pallas_blend.pack_fast16_rows(
@@ -99,7 +100,7 @@ def main():
             return jnp.sum(rows * rows)
         tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
             proj, gx, gy, max_entries, opacities=ops[:, 0], exact_cull=True,
-            with_alpha=subdiv)
+            with_alpha=subdiv, cull_alpha=cull_alpha)
         if stage == "expand":
             return (jnp.sum(tile) + jnp.sum(gauss) * 1.0
                     + sum(jnp.sum(lm) for lm in lms))

@@ -879,3 +879,65 @@ class TestCascadeBinning:
             interpret=True)
         assert bool(ovf)
         assert int(tot) <= 512
+
+
+class TestCullAlpha:
+    """settings.cull_alpha: the opt-in expansion-side approximation for the
+    capped serving mode (raise the exact-cull alpha threshold; tile rects
+    shrink to the same bound). Default 1/255 stays output-preserving (the
+    whole existing parity suite pins that); this pins the knob itself."""
+
+    def test_higher_cull_drops_entries_and_stays_close(self):
+        tb = TestBudgetCappedBinning()
+        sp, args, common = tb._quick_scene()
+        exact = rasterize(sp, *args, **common)
+        capped = rasterize(
+            sp._replace(tile_budget=1e-6, tile_budget_cap=128),
+            *args, **common)
+        culled = rasterize(
+            sp._replace(tile_budget=1e-6, tile_budget_cap=128,
+                        cull_alpha=1.0 / 32.0),
+            *args, **common)
+        assert int(culled.total_entries) < int(capped.total_entries)
+        assert int(culled.live_total) <= int(capped.live_total)
+        d = np.abs(np.asarray(culled.rgb) - np.asarray(exact.rgb))
+        assert d.max() < 2e-1 and d.mean() < 1e-2, (d.max(), d.mean())
+        df = np.abs(np.asarray(culled.feature_map)
+                    - np.asarray(exact.feature_map))
+        assert df.max() < 2e-1 and df.mean() < 1e-2, (df.max(), df.mean())
+
+    def test_cull_alpha_relevancy_iou(self):
+        """The eval-metric gate at the serving config (budget 1e-6 /
+        cap 128 / cull 1/32): relevancy masks vs exact at IoU >= 0.95 —
+        the same pin the tile_budget mode ships under."""
+        from langsplatv2_tpu.ops.rasterize import rasterize_quick_query
+
+        tb = TestBudgetCappedBinning()
+        sp, args, common = tb._quick_scene()
+        rng = np.random.default_rng(6)
+        L, K, PQ = 3, 64, 2
+        cb = rng.normal(size=(L, K, 32)).astype(np.float32)
+        phrases = rng.normal(size=(PQ, 32)).astype(np.float32)
+        phrases /= np.linalg.norm(phrases, axis=1, keepdims=True)
+        phi = jnp.einsum("lkd,pd->lkp", jnp.asarray(cb), jnp.asarray(phrases))
+        gram = jnp.einsum("lkd,lmd->lkm", jnp.asarray(cb), jnp.asarray(cb))
+        sp = sp._replace(assemble=False)
+        kw = dict(common)
+        kw.pop("quick_channels")
+
+        def masks(settings):
+            _, raw_t, nrm2_t, _, _, _, _ = rasterize_quick_query(
+                settings, *args, **kw, phi=phi, gram=gram,
+                quick_channels=192)
+            raw = np.asarray(raw_t).reshape(-1, L, PQ)
+            nrm = np.sqrt(np.maximum(np.asarray(nrm2_t).reshape(-1, L), 0))
+            sim = raw / (nrm[..., None] + 1e-10)
+            return sim > 0.18
+
+        m_ref = masks(sp)
+        m_cull = masks(sp._replace(tile_budget=1e-6, tile_budget_cap=128,
+                                   cull_alpha=1.0 / 32.0))
+        inter = np.logical_and(m_ref, m_cull).sum()
+        union = np.logical_or(m_ref, m_cull).sum()
+        assert union > 0
+        assert inter / union >= 0.95, inter / union
