@@ -312,14 +312,33 @@ def main():
                 live = (out.live_total if out.live_total is not None
                         else total)
                 t, p, _ = out.feature_map.shape
-                wm = out.feature_map.reshape(t * p, L, K).astype(MM_DT)
+                # Block-diagonal lifts: ONE [Q, L*K] x [L*K, L*(PQ+K)]-
+                # shaped pair of matmuls instead of L batched einsums with
+                # N=PQ(<=8) — the per-level form wastes >90% of each MXU
+                # pass on N-padding (measured in the 728p query stage).
+                pq = phi_d.shape[2]
+                lk = L * K
+                phi_mat = jnp.zeros((lk, L * pq), MM_DT)
+                gram_mat = jnp.zeros((lk, lk), MM_DT)
+                for lvl in range(L):
+                    phi_mat = phi_mat.at[
+                        lvl * K:(lvl + 1) * K,
+                        lvl * pq:(lvl + 1) * pq].set(
+                            phi_d[lvl].astype(MM_DT))
+                    gram_mat = gram_mat.at[
+                        lvl * K:(lvl + 1) * K,
+                        lvl * K:(lvl + 1) * K].set(
+                            gram_d[lvl].astype(MM_DT))
+                wm = out.feature_map.reshape(t * p, lk).astype(MM_DT)
                 raw_t = jnp.einsum(
-                    "qlk,lkp->qlp", wm, phi_d.astype(MM_DT),
+                    "qc,cd->qd", wm, phi_mat,
                     preferred_element_type=jnp.float32).reshape(t, p, -1)
                 wg = jnp.einsum(
-                    "qlk,lkm->qlm", wm, gram_d.astype(MM_DT),
+                    "qc,cd->qd", wm, gram_mat,
                     preferred_element_type=jnp.float32)
-                nrm2_t = jnp.sum(wg * wm, axis=-1).reshape(t, p, L)
+                nrm2_t = jnp.sum(
+                    (wg * wm).reshape(t * p, L, K), axis=-1
+                ).reshape(t, p, L)
             else:
                 rgb, raw_t, nrm2_t, final_t, radii, total, live = \
                     rasterize_quick_query(
@@ -949,6 +968,7 @@ def main():
     # vs depth-2 double-buffered (run_pipelined semantics, frame N+1's
     # dispatch overlapping frame N's device compute + readback).
     serve_sync_fps = serve_pipe_fps = serve_static_fps = 0.0
+    serve_worker_fps = serve_temporal_fps = 0.0
     elapsed = time.time() - t_start
     serve_deadline = float(os.environ.get("LSV2_BENCH_SERVE_DEADLINE",
                                           "2700"))
@@ -1018,6 +1038,69 @@ def main():
             log(f"serve loop (depth-2 pipelined, 986x728 heatmap+jpeg): "
                 f"{serve_pipe_fps:.2f} FPS")
 
+            # Finalize-worker overlap (round-5 VERDICT #3): readback +
+            # JPEG encode run on a worker thread (both release the GIL),
+            # so dispatch N+1 proceeds while frame N is fetched/encoded —
+            # the run_pipelined serving loop's actual structure.
+            q.clear()
+            t0 = time.time()
+            for i in range(NS):
+                q.append(backend.finalize_async(
+                    backend.dispatch_request(req_at(200 + i))))
+                if len(q) >= 2:
+                    q.popleft().result()
+            while q:
+                q.popleft().result()
+            serve_worker_fps = NS / (time.time() - t0)
+            log(f"serve loop (finalize-worker overlap): "
+                f"{serve_worker_fps:.2f} FPS")
+
+            # Temporal-reuse serving loop: smooth 1px/frame camera path
+            # through a temporal backend (steady frames reuse the frozen
+            # binning; rebin when the estimated motion exceeds 4px).
+            try:
+                tbackend = BackendRenderer(
+                    model, clip_model=OpenCLIPNetwork(backend="hash"),
+                    max_entries=lbudget, compose="device",
+                    tile_budget=float(os.environ.get(
+                        "LSV2_TILE_BUDGET", "1e-6")),
+                    temporal_reuse_px=4.0, reuse_zref=2.0)
+                lf_px2 = 0.5 * lW / math.tan(lfovx / 2)
+
+                def treq_at(i):
+                    th = 1.0 * i / lf_px2
+                    c2w = c2w0.copy()
+                    cth, sth = math.cos(th), math.sin(th)
+                    ry = np.array([[cth, 0, sth], [0, 1, 0],
+                                   [-sth, 0, cth]], np.float64)
+                    c2w[:3, :3] = ry @ c2w[:3, :3]
+                    return {"c2w": c2w.tolist(), "width": lW, "height": lH,
+                            "fov_y": fovy, "prompt": "object",
+                            "show_heatmap": True, "threshold": -10.0}
+
+                img = tbackend.finalize_frame(
+                    tbackend.dispatch_request(treq_at(0)), as_uint8=True)
+                tbackend._encode_jpeg(img)
+                log(f"serve temporal compile done "
+                    f"({tbackend.cache_hits})")
+                q.clear()
+                t0 = time.time()
+                for i in range(NS):
+                    q.append(tbackend.finalize_async(
+                        tbackend.dispatch_request(treq_at(i + 1))))
+                    if len(q) >= 2:
+                        q.popleft().result()
+                while q:
+                    q.popleft().result()
+                serve_temporal_fps = NS / (time.time() - t0)
+                log(f"serve loop (temporal reuse, 1px/frame path): "
+                    f"{serve_temporal_fps:.2f} FPS  "
+                    f"cache {tbackend.cache_hits}")
+            except Exception:
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                log("temporal serve loop failed; continuing")
+
             # Temporal coherence (round-4): static pose, changing prompt —
             # the pose cache replays the cached blend output through the
             # query+compose tail only. This is the dominant real serving
@@ -1056,6 +1139,8 @@ def main():
         "serve_sync_fps": round(serve_sync_fps, 2),
         "serve_pipelined_fps": round(serve_pipe_fps, 2),
         "serve_static_pose_fps": round(serve_static_fps, 2),
+        "serve_worker_fps": round(serve_worker_fps, 2),
+        "serve_temporal_fps": round(serve_temporal_fps, 2),
         # Temporal-coherence serving (frozen [T, cap] binning, steady
         # frames = dense EWA + blend + fused query only).
         "temporal_steady_728p_fps": round(fps_t_steady, 2),

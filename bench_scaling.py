@@ -83,7 +83,43 @@ def main():
         log("NOTE: virtual CPU mesh shares one physical core - these numbers "
             "validate the sharded program, not scaling; run on a real slice "
             "for efficiency measurements.")
+    # Duplicated-work isolation (round-4 VERDICT #5b): in the tile-sharded
+    # program, preprocess + binning run REPLICATED on every shard (P()
+    # in_specs) — a per-shard constant that does not shrink with c (the
+    # Amdahl term), while the blend is the part that actually divides.
+    # Measure the replicated prefix alone so the artifact separates
+    # "duplicated work" from CPU-mesh oversubscription.
+    from langsplatv2_tpu.ops import binning as binning_mod
+    from langsplatv2_tpu.ops import projection as projection_mod
+
+    @jax.jit
+    def prebin_only(means, op, sc, rot, col):
+        prj = projection_mod.preprocess(
+            means, sc, rot, None, None, col, view, proj, campos,
+            settings.tanfovx, settings.tanfovy, W, H, 0, 1.0)
+        b = binning_mod.bin_gaussians(prj, settings.grid_x, settings.grid_y,
+                                      settings.max_entries)
+        return jnp.sum(b.gauss_id) + jnp.sum(prj.xy)
+
+    _ = float(prebin_only(*args[:5]))
+    n_frames0 = 3 if on_cpu else 10
+    t0 = time.time()
+    for _ in range(n_frames0):
+        r = prebin_only(*args[:5])
+    _ = float(r)
+    prebin_ms = (time.time() - t0) / n_frames0 * 1e3
+    print(json.dumps({
+        "metric": "sharded_replicated_prefix_ms",
+        "value": round(prebin_ms, 2),
+        "note": ("preprocess+binning replicated per tile shard (P() "
+                 "in_specs) — the constant per-shard term; on real chips "
+                 "it runs concurrently per chip and bounds speedup, on "
+                 "this oversubscribed CPU mesh it also multiplies total "
+                 "work by c"),
+    }))
+
     results = {}
+    num_tiles_total = settings.grid_x * settings.grid_y
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev]
     for c in counts:
         mesh = make_device_mesh(n_data=1, n_tile=c,
@@ -106,11 +142,18 @@ def main():
         dt = (time.time() - t0) / n_frames
         rays_s = H * W / dt
         results[c] = rays_s
+        per = -(-num_tiles_total // c)
+        pad_frac = (per * c - num_tiles_total) / num_tiles_total
         print(json.dumps({
             "metric": "sharded_render_rays_per_s",
             "devices": c,
             "value": round(rays_s / 1e6, 3),
             "unit": "Mrays/s",
+            "frame_ms": round(dt * 1e3, 2),
+            # Enumerated overhead terms (VERDICT #5b):
+            "replicated_prefix_ms": round(prebin_ms, 2),
+            "replicated_prefix_frac": round(prebin_ms / (dt * 1e3), 4),
+            "padding_tile_frac": round(pad_frac, 4),
         }))
 
     if len(results) > 1:

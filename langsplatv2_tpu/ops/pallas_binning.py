@@ -544,6 +544,124 @@ def unpack_lm_words(words, n_box: int):
     return jnp.stack(lms, axis=1)
 
 
+def slice_windows(arr, tile_start, cap: int):
+    """[E] sorted array -> [T, cap] dense windows at tile_start.
+
+    Pads so no slice is start-clamped (XLA dynamic_slice clamps starts,
+    which would silently shift a tail tile's window off its segment)."""
+    a_pad = jnp.pad(arr, (0, cap))
+    return jax.vmap(
+        lambda st: lax.dynamic_slice(a_pad, (st,), (cap,)))(tile_start)
+
+
+def budget_from_rows(xy, conic, op, tile_count, grid_x: int, cap: int,
+                     subdiv: int, t_budget: float):
+    """Per-tile budget counts recomputed from the gathered entry rows.
+
+    The round-4 capped pipeline emitted per-entry transmittance-bound
+    factors in the EXPANSION kernel, quantized them to u8, and carried
+    them through the key sort as an extra payload operand (+~2.3 ms at
+    3.4M entries), then sliced them to the window (+~2 ms). But the dense
+    [T, cap] layout already gathers each entry's xy/conic/opacity for the
+    blend — the bound is a pure function of those plus the tile box, so
+    recomputing it HERE on dense [T*cap] lanes costs ~0.5 ms of regular
+    VPU math and the sort drops back to two operands.
+
+    Inputs are per-WINDOW-SLOT arrays ([T*cap]-shaped, entry e of tile
+    t = slot t*cap + e): xy [Tcap, 2] f32, conic [Tcap, 3], op [Tcap]
+    (bf16-rounded values are fine — the blend computes alpha from the
+    same rounded values, so alpha_max bounds what the blend can actually
+    multiply in). Returns (kept [T], sat_bound [T]) with the same
+    contract as budget_counts_windowed; the budget accumulates in f32
+    (<= cap=1024 terms — deterministic, no quanta needed).
+    """
+    t_total = tile_count.shape[0]
+    slot_tile = jnp.arange(t_total * cap, dtype=jnp.int32) // cap
+    tx = (slot_tile % grid_x).astype(jnp.float32)
+    ty = (slot_tile // grid_x).astype(jnp.float32)
+    cx = xy[:, 0]
+    cy = xy[:, 1]
+    ca = jnp.maximum(conic[:, 0], 1e-12)
+    cb = conic[:, 1]
+    cc = jnp.maximum(conic[:, 2], 1e-12)
+
+    def box_qmin(lx, hx, ly, hy):
+        def q(u, v):
+            return ca * u * u + 2.0 * cb * u * v + cc * v * v
+
+        def edge_u(ufix):
+            v = jnp.clip(-cb * ufix / cc, ly, hy)
+            return q(ufix, v)
+
+        def edge_v(vfix):
+            u = jnp.clip(-cb * vfix / ca, lx, hx)
+            return q(u, vfix)
+
+        inside = (lx <= 0.0) & (0.0 <= hx) & (ly <= 0.0) & (0.0 <= hy)
+        q_min = jnp.minimum(
+            jnp.minimum(edge_u(lx), edge_u(hx)),
+            jnp.minimum(edge_v(ly), edge_v(hy)))
+        return jnp.where(inside, 0.0, q_min)
+
+    side = BLOCK // subdiv
+    op_c = jnp.minimum(op, 1.0)
+    lms = []
+    for i in range(subdiv * subdiv):
+        sy, sx = divmod(i, subdiv)
+        lx = tx * float(BLOCK) + float(sx * side) - cx
+        ly = ty * float(BLOCK) + float(sy * side) - cy
+        qm = box_qmin(lx, lx + float(side - 1), ly, ly + float(side - 1))
+        am = jnp.minimum(op_c * jnp.exp(-0.5 * jnp.maximum(qm, 0.0)), 0.99)
+        lms.append(jnp.log1p(-am))
+    lm = jnp.stack(lms, axis=1).reshape(t_total, cap, -1)    # [T, cap, Q]
+    incap = jnp.minimum(tile_count, cap)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    inwin = slot[None, :] < incap[:, None]
+    lm = jnp.where(inwin[..., None], lm, 0.0)
+    s_excl = jnp.cumsum(lm, axis=1) - lm                     # exclusive
+    logb = jnp.float32(np.log(t_budget))
+    ok = jnp.any(s_excl >= logb, axis=-1) & inwin
+    kept = jnp.sum(ok, axis=1).astype(jnp.int32)
+    sat_bound = jnp.where((kept >= incap) & (tile_count > cap),
+                          tile_count, kept)
+    return kept, sat_bound
+
+
+def budget_counts_windowed(words_win, tile_count, cap: int, n_box: int,
+                           t_budget: float):
+    """Per-tile kept-counts from lm payload windows ALREADY in the dense
+    [T, cap] layout (slice_windows of the sorted pack_lm_words operands).
+
+    Same integer-quanta math as `budget_counts` restricted to the cap
+    window — bit-identical kept for every tile (the window clamp and the
+    budget clamp commute) — but the whole [E] cumsum + per-tile binary
+    search (a ~22-step lax.fori_loop of narrow gathers, measured 5.3 ms
+    at the 986x728 load) collapses into one tiny dense [T, cap, Q] cumsum.
+
+    Returns (kept [T] int32, sat_bound [T] int32): kept <= min(count, cap)
+    is the blend count; sat_bound reports the tile's FULL pre-budget count
+    wherever the budget prefix saturated the window (kept == min(count,
+    cap) with count > cap) — a conservative upper bound replacing the old
+    pre-clamp kept_full telemetry (max > cap still reveals saturation).
+    """
+    lm = unpack_lm_words(
+        tuple(w.reshape(-1) for w in words_win), n_box)      # [T*cap, Q]
+    t = words_win[0].shape[0]
+    q = jnp.round(lm.reshape(t, cap, n_box) * (-1.0 / LM_QSTEP)
+                  ).astype(jnp.int32)
+    assert cap * 255 < 2 ** 31
+    s_excl = jnp.cumsum(q, axis=1) - q                       # exclusive
+    qbudget = jnp.int32(np.floor(-np.log(t_budget) / LM_QSTEP))
+    incap = jnp.minimum(tile_count, cap)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    ok = (jnp.any(s_excl <= qbudget, axis=-1)
+          & (slot[None, :] < incap[:, None]))
+    kept = jnp.sum(ok, axis=1).astype(jnp.int32)
+    sat_bound = jnp.where((kept >= incap) & (tile_count > cap),
+                          tile_count, kept)
+    return kept, sat_bound
+
+
 def budget_counts(lm_sorted, tile_start, tile_count, t_budget: float):
     """Per-tile kept-counts under a transmittance-bound budget.
 

@@ -394,6 +394,7 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         settings.tanfovx, settings.tanfovy, W, H,
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0],
+        cull_alpha=settings.cull_alpha,
     )
     topk = quick_weights.shape[1]
     packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4
@@ -411,46 +412,39 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
         # budget is uncrossable). The backward takes the scatter-add
         # reduction branch (at T*cap entries the scatter is already in
         # its fast width-64 regime; no perm machinery needed).
+        from .rasterize import _capped_quick_binning, _capped_kept_from_rows
+
         cap = settings.tile_budget_cap
-        assert cap % 128 == 0, "tile_budget_cap must be 128-lane aligned"
-        subdiv = settings.tile_budget_subdiv
-        n_box = subdiv * subdiv
-        tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
-            jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
-            settings.max_entries,
-            opacities=lax.stop_gradient(opacities[:, 0]),
-            exact_cull=True, with_alpha=subdiv, interpret=interp)
-        keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-        words = pallas_binning.pack_lm_words(lms)
-        g_full, ts0, tc0, _tile_sorted, words_s = (
-            pallas_binning.sorted_binning_from_keys(
-                keys, num_tiles, extra=words))
-        lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
-        kept_full = pallas_binning.budget_counts(
-            lm_sorted, ts0, tc0, settings.tile_budget)
-        kept = jnp.minimum(jnp.minimum(kept_full, cap), settings.tile_cap)
-        # Pad so no slice is start-clamped (XLA dynamic_slice clamps
-        # starts, which would silently shift a tail tile's window).
-        g_pad = jnp.pad(g_full, (0, cap))
-        g_sorted = jax.vmap(
-            lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(ts0
-                                                               ).reshape(-1)
-        tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * cap
+        # Round-5 capped binning: 2-operand sort + dense [T, cap] window
+        # slice; the transmittance budget is recomputed from the gathered
+        # rows below (the f32pack rows carry exact f32 conic/opacity, so
+        # the bound here is the EXACT one — see
+        # pallas_binning.budget_from_rows).
+        g_sorted, tile_start, raw_counts, total = _capped_quick_binning(
+            settings, jax.tree.map(lax.stop_gradient, proj),
+            lax.stop_gradient(opacities), interp)
+        rows_cap = pallas_blend.pack_quick_train_rows(
+            lax.stop_gradient(proj.xy), lax.stop_gradient(proj.conic),
+            lax.stop_gradient(opacities[:, 0]),
+            lax.stop_gradient(proj.rgb) if proj.rgb is not None else None,
+            lax.stop_gradient(quick_weights), quick_indices)[g_sorted]
+        kept, sat_bound, live_total = _capped_kept_from_rows(
+            settings, rows_cap, raw_counts, "f32")
         tile_count = kept
         expidx = None
         # Slot validity: window slots past kept[t] hold neighbouring
         # tiles' entries — the replay's gradients there must be dropped.
         entry_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
                        < kept[:, None]).reshape(-1)
-        live_total = jnp.sum(kept_full)
-        # Pre-clamp counts: max > cap reveals cap saturation.
-        telemetry_max = kept_full.max()
+        # Saturation telemetry: max > cap reveals cap saturation.
+        telemetry_max = sat_bound.max()
     else:
         tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
             jax.tree.map(lax.stop_gradient, proj), grid_x, grid_y,
             settings.max_entries,
             opacities=lax.stop_gradient(opacities[:, 0]),
-            exact_cull=True, interpret=interp)
+            exact_cull=True, cull_alpha=settings.cull_alpha,
+            interpret=interp)
         keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
         if packed:
             # Carry the sort permutation (expansion slot per sorted entry):
@@ -485,7 +479,12 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
                 jnp.minimum(tile_count, live - tile_start), 0, None)
         entry_valid = (tile_sorted < num_tiles)[:g_sorted.shape[0]]
         telemetry_max = tile_count.max()
-    if packed:
+    if capped:
+        # The capped branch already gathered the f32pack rows (the budget
+        # recompute reads them) — reuse, no second gather.
+        entry_geom = pallas_blend.to_field_major(rows_cap, chunk)
+        entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
+    elif packed:
         # Per-level training (topk <= 4): the WHOLE entry state — geometry,
         # index pairs, weights — packs into ONE 16-wide f32 row, halving
         # the dominant row-count-bound gather with zero precision change.

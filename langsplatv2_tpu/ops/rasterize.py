@@ -399,10 +399,8 @@ def _rasterize_pallas(
     capped = (settings.tile_budget > 0.0 and quick_weights is not None
               and settings.precision == "bf16")
     if capped:
-        (g_sorted, tile_start, tile_count, kept_full, total,
-         live_total) = _capped_quick_binning(
+        g_used_c, tile_start, raw_counts, total = _capped_quick_binning(
             settings, proj, opacities, interp)
-        telemetry_counts = kept_full
         # Per-tile entry counts are <= tile_budget_cap by construction:
         # shrinking the blend chunk to the cap halves the VPU cell area
         # (and quarters the [chunk, chunk] transmittance matmul) at
@@ -422,7 +420,15 @@ def _rasterize_pallas(
             rows = pallas_blend.pack_fast16_rows(
                 proj.xy, proj.conic, opacities[:, 0], proj.rgb,
                 quick_weights, quick_indices)
-            entry_geom = pallas_blend.to_field_major(rows[g_sorted], chunk)
+            if capped:
+                rows_g2 = rows[g_used_c]
+                tile_count, telemetry_counts, live_total = \
+                    _capped_kept_from_rows(
+                        settings, rows_g2, raw_counts, "fast16")
+                entry_geom = pallas_blend.to_field_major(rows_g2, chunk)
+            else:
+                entry_geom = pallas_blend.to_field_major(
+                    rows[g_sorted], chunk)
             entry_feat = jnp.zeros((1, entry_geom.shape[1]), jnp.float32)
             banded = (quick_channels % 64 == 0
                       and topk % (quick_channels // 64) == 0)
@@ -494,52 +500,65 @@ def _sorted_quick_binning(settings, proj, opacities, interp):
 
 
 def _capped_quick_binning(settings, proj, opacities, interp):
-    """Binning for the OPT-IN settings.tile_budget mode: expansion also
-    emits each entry's transmittance-bound factor lm = log1p(-alpha_max),
-    which rides the key sort as one payload operand; a per-tile budget
-    prefix (pallas_binning.budget_counts) then clamps every tile to the
-    entries its bound says are visible, and the sorted gauss ids are
-    fetched with a REGULAR vmapped dynamic_slice into a dense
-    [T, tile_budget_cap] layout — so the downstream w16 row gather costs
-    T*cap rows (~1M at bench scale) instead of the live total (~4M), and
-    every blend segment starts 128-aligned at t*cap.
+    """Binning for the OPT-IN settings.tile_budget mode (round-5 form):
+    expansion emits plain (tile, depth, gauss) — NO in-kernel alpha-bound
+    emission — the key sort carries TWO operands only, and the sorted
+    gauss ids are fetched with a REGULAR vmapped dynamic_slice into the
+    dense [T, tile_budget_cap] layout. The transmittance-bound budget is
+    computed AFTER the row gather by `_capped_kept_from_rows` (the bound
+    is a pure function of the gathered xy/conic/opacity plus the tile
+    box — pallas_binning.budget_from_rows), which round-5 measured as the
+    cheaper structure: the round-4 form paid +2.3 ms of sort payload,
+    +2 ms of lm-window slicing and the in-kernel sub-box emission for
+    information the blend's own input rows already carry.
 
     Approximate by design (error scale ~ tile_budget; see the settings
-    docstring). Returns (g2 [T*cap], tile_start [T] = t*cap, kept [T]
-    post-clamp counts for the blend, kept_full [T] PRE-clamp budget
-    counts (telemetry: max goes to RasterizeOutput.max_tile_count, so
-    kept_full.max() > cap reveals cap saturation), total, live) where
-    live = sum(kept_full) — the budget-visible entry total before the
-    cap clamp."""
+    docstring). Returns (g2 [T*cap], dense_start [T] = t*cap,
+    tile_count [T] raw per-tile counts (pre-budget, for the window mask
+    and saturation telemetry), total)."""
     from . import pallas_binning
 
     grid_x, grid_y = settings.grid_x, settings.grid_y
     num_tiles = grid_x * grid_y
     cap = settings.tile_budget_cap
     assert cap % 128 == 0, "tile_budget_cap must be 128-lane aligned"
-    subdiv = settings.tile_budget_subdiv
-    n_box = subdiv * subdiv
-    tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
+    tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
         proj, grid_x, grid_y, settings.max_entries,
-        opacities=opacities[:, 0], exact_cull=True, with_alpha=subdiv,
+        opacities=opacities[:, 0], exact_cull=True,
         cull_alpha=settings.cull_alpha, interpret=interp)
     keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-    words = pallas_binning.pack_lm_words(lms)
-    g_sorted, tile_start, tile_count, _tile_sorted, words_s = \
-        pallas_binning.sorted_binning_from_keys(
-            keys, num_tiles, extra=words)
-    lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
-    kept_full = pallas_binning.budget_counts(
-        lm_sorted, tile_start, tile_count, settings.tile_budget)
-    kept = jnp.minimum(jnp.minimum(kept_full, cap), settings.tile_cap)
-    # Pad so no slice is start-clamped (XLA dynamic_slice clamps starts,
-    # which would silently shift a tail tile's window off its segment).
-    g_pad = jnp.pad(g_sorted, (0, cap))
-    g2 = jax.vmap(
-        lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(tile_start)
+    g_sorted, tile_start, tile_count, _tile_sorted = \
+        pallas_binning.sorted_binning_from_keys(keys, num_tiles)
+    g2 = pallas_binning.slice_windows(g_sorted, tile_start, cap)
     dense_start = jnp.arange(num_tiles, dtype=jnp.int32) * cap
-    return (g2.reshape(-1), dense_start, kept, kept_full, total,
-            jnp.sum(kept_full))
+    return g2.reshape(-1), dense_start, tile_count, total
+
+
+def _capped_kept_from_rows(settings, rows_g2, tile_count, rowfmt: str):
+    """Budget counts for the dense window from the gathered entry rows
+    themselves (see _capped_quick_binning). rows_g2 [T*cap, 16] in
+    "fast16" (conic/op as bf16 pairs) or "f32" layout (x y ca cb cc op).
+    Returns (kept [T] blend counts <= min(cap, tile_cap), sat_bound [T]
+    saturation telemetry, live_total [])."""
+    from . import pallas_binning, pallas_blend
+
+    cap = settings.tile_budget_cap
+    if rowfmt == "fast16":
+        xy = rows_g2[:, 0:2]
+        ca = pallas_blend._unpack_hi(rows_g2[:, 2])
+        cb = pallas_blend._unpack_lo(rows_g2[:, 2])
+        cc = pallas_blend._unpack_hi(rows_g2[:, 3])
+        op = pallas_blend._unpack_lo(rows_g2[:, 3])
+        conic = jnp.stack([ca, cb, cc], axis=1)
+    else:
+        xy = rows_g2[:, 0:2]
+        conic = rows_g2[:, 2:5]
+        op = rows_g2[:, 5]
+    kept, sat_bound = pallas_binning.budget_from_rows(
+        xy, conic, op, tile_count, settings.grid_x, cap,
+        settings.tile_budget_subdiv, settings.tile_budget)
+    kept = jnp.minimum(kept, settings.tile_cap)
+    return kept, sat_bound, jnp.sum(kept)
 
 
 def _assemble(settings, proj, rgb_t, feat_t, t_t, tile_count, total,
@@ -602,21 +621,23 @@ def rasterize_quick_query(
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0], cull_alpha=settings.cull_alpha)
 
+    rows = pallas_blend.pack_fast16_rows(
+        proj.xy, proj.conic, opacities[:, 0], proj.rgb,
+        quick_weights, quick_indices)
     if settings.tile_budget > 0.0:
-        (g_used, tile_start, tile_count, _kept_full, total,
-         live_total) = _capped_quick_binning(
+        g_used, tile_start, raw_counts, total = _capped_quick_binning(
             settings, proj, opacities, interp)
+        rows_used = rows[g_used]
+        tile_count, _sat, live_total = _capped_kept_from_rows(
+            settings, rows_used, raw_counts, "fast16")
         # Counts <= cap: chunk = cap halves the blend's VPU cell area at
         # cap 128 (see the capped branch in rasterize()).
         chunk = min(chunk, max(settings.tile_budget_cap, 128))
     else:
         g_used, tile_start, tile_count, total, live_total = \
             _sorted_quick_binning(settings, proj, opacities, interp)
-
-    rows = pallas_blend.pack_fast16_rows(
-        proj.xy, proj.conic, opacities[:, 0], proj.rgb,
-        quick_weights, quick_indices)
-    entry_geom = pallas_blend.to_field_major(rows[g_used], chunk)
+        rows_used = rows[g_used]
+    entry_geom = pallas_blend.to_field_major(rows_used, chunk)
     topk = quick_weights.shape[1]
     banded = (quick_channels % 64 == 0
               and topk % (quick_channels // 64) == 0)

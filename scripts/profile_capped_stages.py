@@ -98,35 +98,35 @@ def main():
             proj.xy, proj.conic, ops[:, 0], proj.rgb, qw, qi)
         if stage == "pack16":
             return jnp.sum(rows * rows)
-        tile, depth, gauss, total, *lms = pallas_binning.expand_entries_pallas(
+        tile, depth, gauss, total = pallas_binning.expand_entries_pallas(
             proj, gx, gy, max_entries, opacities=ops[:, 0], exact_cull=True,
-            with_alpha=subdiv, cull_alpha=cull_alpha)
+            cull_alpha=cull_alpha)
         if stage == "expand":
-            return (jnp.sum(tile) + jnp.sum(gauss) * 1.0
-                    + sum(jnp.sum(lm) for lm in lms))
+            return jnp.sum(tile) + jnp.sum(gauss) * 1.0
         keys = pallas_binning.pack_sort_keys(tile, depth, gauss, num_tiles)
-        words = pallas_binning.pack_lm_words(lms)
-        g_sorted, tile_start, tile_count, _ts, words_s = \
-            pallas_binning.sorted_binning_from_keys(
-                keys, num_tiles, extra=words)
+        g_sorted, tile_start, tile_count, _ts = \
+            pallas_binning.sorted_binning_from_keys(keys, num_tiles)
         if stage == "sortpay":
-            return (jnp.sum(g_sorted) * 1.0 + jnp.sum(tile_count) * 1.0
-                    + sum(jnp.sum(ww * 1.0) for ww in words_s))
-        lm_sorted = pallas_binning.unpack_lm_words(words_s, n_box)
-        kept_full = pallas_binning.budget_counts(
-            lm_sorted, tile_start, tile_count, budget_t)
-        if stage == "budget":
-            return jnp.sum(kept_full) * 1.0 + jnp.sum(g_sorted) * 1.0
-        kept = jnp.minimum(kept_full, cap)
-        g_pad = jnp.pad(g_sorted, (0, cap))
-        g2 = jax.vmap(
-            lambda st: lax.dynamic_slice(g_pad, (st,), (cap,)))(tile_start)
-        g2 = g2.reshape(-1)
+            return jnp.sum(g_sorted) * 1.0 + jnp.sum(tile_count) * 1.0
+        g2 = pallas_binning.slice_windows(g_sorted, tile_start, cap
+                                          ).reshape(-1)
         if stage == "slice":
-            return jnp.sum(g2) * 1.0 + jnp.sum(kept) * 1.0
+            return jnp.sum(g2) * 1.0
         gathered = rows[g2]
         if stage == "gather":
-            return jnp.sum(gathered * gathered) + jnp.sum(kept) * 1.0
+            return jnp.sum(gathered * gathered)
+        # Budget recomputed from the gathered rows (round-5 structure:
+        # pallas_binning.budget_from_rows via the fast16 field unpack).
+        xyg = gathered[:, 0:2]
+        cag = pallas_blend._unpack_hi(gathered[:, 2])
+        cbg = pallas_blend._unpack_lo(gathered[:, 2])
+        ccg = pallas_blend._unpack_hi(gathered[:, 3])
+        opg = pallas_blend._unpack_lo(gathered[:, 3])
+        kept, _sat = pallas_binning.budget_from_rows(
+            xyg, jnp.stack([cag, cbg, ccg], axis=1), opg, tile_count,
+            gx, cap, subdiv, budget_t)
+        if stage == "budget":
+            return jnp.sum(kept) * 1.0 + jnp.sum(gathered[:, 0])
         eg = pallas_blend.to_field_major(gathered, chunk)
         if stage == "fieldmajor":
             return jnp.sum(eg * eg) + jnp.sum(kept) * 1.0
@@ -139,14 +139,28 @@ def main():
             chunk=chunk, rowfmt="fast16", banded=True)
         if stage == "blend":
             return jnp.sum(rgb_t[:, 0, 0]) + jnp.sum(feat_t[:, 0, 0])
-        # gram query + heat assembly (the bench frame's tail)
+        # gram query + heat assembly (the bench frame's tail): block-diag
+        # single matmuls (see bench.py make_frame — the per-level batched
+        # einsums waste >90% of each MXU pass on N-padding at PQ<=8).
         t, p, _ = feat_t.shape
-        wm = feat_t.reshape(t * p, L, CB).astype(jnp.bfloat16)
-        raw = jnp.einsum("qlk,lkp->lqp", wm, phi.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        wg = jnp.einsum("qlk,lkm->lqm", wm, gram.astype(jnp.bfloat16),
+        lk = L * CB
+        pq = NPOS + NNEG
+        phi_mat = jnp.zeros((lk, L * pq), jnp.bfloat16)
+        gram_mat = jnp.zeros((lk, lk), jnp.bfloat16)
+        for lvl in range(L):
+            phi_mat = phi_mat.at[lvl * CB:(lvl + 1) * CB,
+                                 lvl * pq:(lvl + 1) * pq].set(
+                                     phi[lvl].astype(jnp.bfloat16))
+            gram_mat = gram_mat.at[lvl * CB:(lvl + 1) * CB,
+                                   lvl * CB:(lvl + 1) * CB].set(
+                                       gram[lvl].astype(jnp.bfloat16))
+        wm = feat_t.reshape(t * p, lk).astype(jnp.bfloat16)
+        raw = jnp.einsum("qc,cd->qd", wm, phi_mat,
+                         preferred_element_type=jnp.float32
+                         ).reshape(t * p, L, pq).transpose(1, 0, 2)
+        wg = jnp.einsum("qc,cd->qd", wm, gram_mat,
                         preferred_element_type=jnp.float32)
-        nrm2 = jnp.sum(wg * wm.transpose(1, 0, 2), axis=-1)
+        nrm2 = jnp.sum((wg * wm).reshape(t * p, L, CB), axis=-1).T
         sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
         pos, neg = sim[..., :NPOS], sim[..., NPOS:]
         pair = jnp.stack([
@@ -177,8 +191,8 @@ def main():
         log(f"prefix {stage:12s} compile {compile_t:5.1f}s  {dt:8.1f} ms")
         return dt
 
-    stages = ["preprocess", "pack16", "expand", "sortpay", "budget",
-              "slice", "gather", "fieldmajor", "blend", "query"]
+    stages = ["preprocess", "pack16", "expand", "sortpay", "slice",
+              "gather", "budget", "fieldmajor", "blend", "query"]
     times = {}
     for s in stages:
         times[s] = run(s)

@@ -70,6 +70,9 @@ def main():
         tile_budget=float(os.environ.get("LSV2_TILE_BUDGET", "0")),
         tile_budget_cap=int(os.environ.get("LSV2_TILE_CAP", "128")),
         tile_budget_subdiv=int(os.environ.get("LSV2_TILE_SUBDIV", "2")))
+    ca = float(os.environ.get("LSV2_CULL_ALPHA", "0"))
+    if ca > 0:
+        settings = settings._replace(cull_alpha=ca)
 
     table = jnp.asarray(rng.normal(size=(nseg, 512)).astype(np.float32))
     seg = jnp.asarray(rng.integers(0, nseg, (h, w)).astype(np.int32))
