@@ -49,6 +49,7 @@ def make_settings(
     tile_budget: float = 0.0,
     tile_budget_cap: int = 128,
     tile_budget_subdiv: int = 2,
+    cull_alpha: float = 1.0 / 255.0,
 ) -> RasterizeSettings:
     return RasterizeSettings(
         image_height=int(camera.image_height),
@@ -65,6 +66,7 @@ def make_settings(
         tile_budget=tile_budget,
         tile_budget_cap=tile_budget_cap,
         tile_budget_subdiv=tile_budget_subdiv,
+        cull_alpha=cull_alpha,
     )
 
 

@@ -400,6 +400,11 @@ def _quick_fwd_impl(settings, means3d, opacities, viewmatrix, projmatrix,
     packed = 9 + topk // 2 + topk <= pallas_blend.GEOM_W  # topk <= 4
     capped = settings.tile_budget > 0.0 and packed
     if capped:
+        # Counts <= cap by construction: chunk = cap halves the blend's
+        # (and the replay backward's) VPU cell area at cap 128, same as
+        # the serving path.
+        chunk = min(chunk, max(settings.tile_budget_cap, 128))
+    if capped:
         # OPT-IN budget-capped training (settings.tile_budget, same
         # transmittance-bound cull as the serving path's
         # rasterize._capped_quick_binning): the forward blends — and the
@@ -592,15 +597,23 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
         feat_k = g_feat.shape[-1]
         g_tiles = g_feat                                    # already tiles
     tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    topk = quick_indices.shape[1]
+    # Match the forward's chunk: cap-sized on the capped route (halves
+    # the replay's per-tile VPU area; the entry_geom padding was sized
+    # for this chunk by the forward).
+    packed_b = 9 + topk // 2 + topk <= pallas_blend.GEOM_W
+    bwd_chunk = 256
+    if settings.tile_budget > 0.0 and packed_b:
+        bwd_chunk = min(256, max(settings.tile_budget_cap, 128))
     dfeat_entries = feature_grads_pallas(
         entry_geom, tile_start, tile_count, tile_ids, g_tiles,
-        grid_x=grid_x, grid_y=grid_y, feat_k=feat_k, interpret=interp)
+        grid_x=grid_x, grid_y=grid_y, feat_k=feat_k, chunk=bwd_chunk,
+        interpret=interp)
     dfeat_entries = jnp.where(
         jnp.pad(entry_valid, (0, dfeat_entries.shape[0] - entry_valid.shape[0])
                 )[:, None],
         dfeat_entries[:, :feat_k], 0.0)
     e = g_sorted.shape[0]
-    topk = quick_indices.shape[1]
     if expidx is not None:
         # Scatter-free reduction (packed/f32pack path). d_qw[g, j] needs
         # only Sum_{entries of g} dfeat[entry, idx_j(g)]:

@@ -189,21 +189,47 @@ class BackendRenderer:
         import jax.numpy as jnp
 
         h, w = wm16.shape[1:]
-        wm = wm16.reshape(L, K, h * w)
         # Reference semantics: per-level L2-normalized features are
-        # SUMMED, then the sum is normalized against the text embed.
-        # bf16 operands (the fast-mode contract; the weight map itself
-        # came out of the bf16 MXU blend), f32 accumulation.
-        cross = jnp.einsum("lkp,ljkm,jmp->ljp", wm,
-                           gram.astype(jnp.bfloat16), wm,
-                           preferred_element_type=jnp.float32)
-        s = jnp.sqrt(jnp.maximum(
-            jnp.diagonal(cross, axis1=0, axis2=1).T, 0.0)) + 1e-10
-        num = jnp.sum(
-            jnp.einsum("lkp,lk->lp", wm, phi.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32) / s, axis=0)
-        nrm2 = jnp.sum(cross / (s[:, None, :] * s[None, :, :]),
-                       axis=(0, 1))
+        # SUMMED, then the sum is normalized against the text embed
+        # (backend_renderer.py:204-228). Same math as the 4-index
+        # einsum formulation, restructured as two flat [LK, LK] matmuls:
+        # with f_l = cb_l^T wm_l, the per-level norm s_l comes from the
+        # BLOCK-DIAGONAL Gram (s_l^2 = <wm_l, G_ll wm_l>) and
+        # |sum_l f_l/s_l|^2 = <wms, G_full wms> with wms = wm_l/s_l —
+        # the [L, L, P] cross tensor never materializes. bf16 operands
+        # (the fast-mode contract), f32 accumulation.
+        lk = L * K
+        wm = wm16.reshape(lk, h * w)
+        gd = jnp.zeros((lk, lk), jnp.bfloat16)
+        gf = jnp.zeros((lk, lk), jnp.bfloat16)
+        if gram.ndim == 4:
+            # [L, L, K, K] cross-level Gram (serve _phi_gram form).
+            for lv in range(L):
+                for jv in range(L):
+                    gf = gf.at[lv * K:(lv + 1) * K,
+                               jv * K:(jv + 1) * K].set(
+                                   gram[lv, jv].astype(jnp.bfloat16))
+            for lv in range(L):
+                gd = gd.at[lv * K:(lv + 1) * K, lv * K:(lv + 1) * K].set(
+                    gram[lv, lv].astype(jnp.bfloat16))
+        else:
+            # [L, K, K] per-level diagonal blocks.
+            for lv in range(L):
+                gd = gd.at[lv * K:(lv + 1) * K,
+                           lv * K:(lv + 1) * K].set(
+                               gram[lv].astype(jnp.bfloat16))
+            gf = gd
+        wg_d = jnp.einsum("cp,cd->dp", wm, gd,
+                          preferred_element_type=jnp.float32)   # [LK, P]
+        s2 = jnp.sum((wg_d * wm).reshape(L, K, h * w), axis=1)  # [L, P]
+        s = jnp.sqrt(jnp.maximum(s2, 0.0)) + 1e-10
+        wms = (wm.reshape(L, K, h * w) / s[:, None, :]).reshape(lk, h * w)
+        wms16 = wms.astype(jnp.bfloat16)
+        wg_f = jnp.einsum("cp,cd->dp", wms16, gf,
+                          preferred_element_type=jnp.float32)
+        nrm2 = jnp.sum(wg_f * wms, axis=0)                      # [P]
+        num = jnp.sum(phi.astype(jnp.bfloat16).reshape(lk, 1) * wms,
+                      axis=0)
         sim = (num / (jnp.sqrt(jnp.maximum(nrm2, 0.0)) + 1e-10)
                ).reshape(h, w)
         if not compose_dev:

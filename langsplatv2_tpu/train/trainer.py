@@ -743,6 +743,7 @@ def train_features(
     tile_budget: float = 0.0,
     tile_budget_cap: int = 128,
     tile_budget_subdiv: int = 2,
+    cull_alpha: float = 1.0 / 255.0,
     impl: str = "auto",
     opt_state=None,
     feature_cache: dict | None = None,
@@ -805,7 +806,8 @@ def train_features(
                                      impl=impl, live_entries=live,
                                      tile_budget=tile_budget,
                                      tile_budget_cap=tile_budget_cap,
-                                     tile_budget_subdiv=tile_budget_subdiv)
+                                     tile_budget_subdiv=tile_budget_subdiv,
+                                     cull_alpha=cull_alpha)
             if batched:
                 step_cache[key] = make_feature_train_step_batched(
                     settings, optimizer, topk, loss_space="gram")

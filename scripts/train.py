@@ -64,6 +64,10 @@ def main():
              " error scale ~ budget; 0 disables)")
     parser.add_argument("--tile_budget_cap", type=int, default=128)
     parser.add_argument("--tile_budget_subdiv", type=int, default=2)
+    parser.add_argument(
+        "--cull_alpha", type=float, default=1.0 / 255.0,
+        help="expansion exact-cull alpha threshold; > 1/255 is an "
+             "approximation for the capped mode (see RasterizeSettings)")
     # Rasterizer implementation for the RGB phase: "auto" selects the
     # Pallas forward + RGB Pallas backward on real TPUs and the XLA
     # autodiff pipeline elsewhere; "xla"/"pallas" force one path.
@@ -262,6 +266,7 @@ def main():
             tile_budget=args.tile_budget,
             tile_budget_cap=args.tile_budget_cap,
             tile_budget_subdiv=args.tile_budget_subdiv,
+            cull_alpha=args.cull_alpha,
             opt_state=init_opt_state, feature_cache={},
             on_iteration=on_iter,
             gui_source_path=dataset.source_path if args.gui else None)
