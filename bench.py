@@ -353,11 +353,11 @@ def main():
             sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
             pos = sim[..., :NPOS]
             neg = sim[..., NPOS:]
-            pair = jnp.stack([
-                jnp.broadcast_to(pos[..., None], pos.shape + (NNEG,)),
-                jnp.broadcast_to(neg[:, :, None, :], pos.shape + (NNEG,)),
-            ], axis=-1)
-            relev = jax.nn.softmax(10.0 * pair, axis=-1)[..., 0].min(-1)
+            # Exact identity: softmax([p, n])[0] = sigmoid(10(p-n)) and the
+            # min over negatives is the sigmoid against max(neg) — the
+            # [L, Q, NPOS, NNEG, 2] broadcast stack never materializes.
+            relev = jax.nn.sigmoid(
+                10.0 * (pos - jnp.max(neg, axis=-1, keepdims=True)))
             # The user-facing heatmap image: [L*NPOS, H, W] assembly (tiny
             # channel count — unlike the 192-ch map this costs ~nothing).
             from langsplatv2_tpu.ops import rasterize_tiles

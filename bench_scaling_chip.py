@@ -147,11 +147,8 @@ def main():
             nrm2 = nrm2_t.reshape(-1, L)
             sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
             pos, neg = sim[..., :NPOS], sim[..., NPOS:]
-            pair = jnp.stack([
-                jnp.broadcast_to(pos[..., None], pos.shape + (NNEG,)),
-                jnp.broadcast_to(neg[:, :, None, :], pos.shape + (NNEG,)),
-            ], axis=-1)
-            relev = jax.nn.softmax(10.0 * pair, axis=-1)[..., 0].min(-1)
+            relev = jax.nn.sigmoid(
+                10.0 * (pos - jnp.max(neg, axis=-1, keepdims=True)))
             t, p, _ = rgb_t.shape
             heat = rasterize_tiles.tiles_to_image(
                 relev.reshape(t, p, L * NPOS), gx, gy, h, w)

@@ -163,11 +163,8 @@ def main():
         nrm2 = jnp.sum((wg * wm).reshape(t * p, L, CB), axis=-1).T
         sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
         pos, neg = sim[..., :NPOS], sim[..., NPOS:]
-        pair = jnp.stack([
-            jnp.broadcast_to(pos[..., None], pos.shape + (NNEG,)),
-            jnp.broadcast_to(neg[:, :, None, :], pos.shape + (NNEG,)),
-        ], axis=-1)
-        relev = jax.nn.softmax(10.0 * pair, axis=-1)[..., 0].min(-1)
+        relev = jax.nn.sigmoid(
+            10.0 * (pos - jnp.max(neg, axis=-1, keepdims=True)))
         heat = rasterize_tiles.tiles_to_image(
             relev.transpose(1, 0, 2).reshape(t, p, L * NPOS), gx, gy, h, w)
         return jnp.sum(rgb_t[:, 0, 0]) + heat[0, 0, 0]
