@@ -30,9 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .projection import BLOCK
 from . import pallas_blend
 from .pallas_blend import (ALPHA_MIN, ALPHA_MAX, T_EPS, GEOM_W, LANE, P,
-                           _exclusive_cumprod_lanes)
+                           QUICK_PCOL, PAIR_BASE, _exclusive_cumprod_lanes)
 
 GRAD_W = 128   # per-entry gradient rows padded to full lanes (DMA-writable)
+PROJ_W = 8     # fused-backward top-k projection rows (sublane-padded)
 
 
 def _feature_bwd_kernel(
@@ -244,6 +245,214 @@ def feature_grads_pallas(
         interpret=interpret,
     )(tile_start, tile_count, tile_ids, entry_geom, g_feat)
     return dfeat
+
+
+def _feature_bwd_topk_kernel(
+    # scalar prefetch
+    count_ref, tid_ref,
+    # inputs
+    geom_hbm,          # [GEOM_W, E_pad] field-major f32pack rows (HBM)
+    g_tiles,           # [TB, P, K] cotangent block (VMEM)
+    # outputs
+    dproj_hbm,         # [PROJ_W, n_pad*cap] top-k projections (HBM, DMA)
+    # scratch
+    geom_buf, dbuf, sems, wsem,
+    *,
+    cap: int,
+    grid_x: int,
+    num_tiles: int,
+    feat_k: int,
+    topk: int,
+    tile_batch: int,
+):
+    """FUSED replay + top-k projection for the budget-capped layout.
+
+    The capped [T, cap] layout makes the whole backward regular: every
+    tile's entries live at the 128-aligned window [t*cap, (t+1)*cap), one
+    chunk == one tile. Instead of writing the dense [E, GRAD_W] gradient
+    stream to HBM (134 MB at T*cap = 261k) and projecting onto each
+    entry's top-k channels in XLA, this kernel projects IN VMEM: the
+    per-chunk MXU product dWT[k, e] = sum_p W[p, e] g[p, k] is masked by
+    the entry's own codebook indices (which ride the f32pack geometry rows
+    at QUICK_PCOL — already fetched for the replay) and sublane-reduced to
+    [topk, cap] rows. Only the [PROJ_W, E] projection stream (8 MB) ever
+    reaches HBM — a 16x write-traffic cut, and the XLA side's where-mask +
+    one-hot einsum disappear (the per-gaussian scatter reduction remains).
+
+    Every tile k (including count==0 and grid-padding tiles) writes its
+    full [PROJ_W, cap] window — zeros where invalid — so the output needs
+    no validity mask; padding tiles write into the dump lanes past
+    num_tiles*cap (out_shape is sized n_pad*cap for exactly this).
+    """
+    i = pl.program_id(0)
+
+    def tile_info(k):
+        idx = i * tile_batch + k
+        tid = tid_ref[idx]
+        count = jnp.where(tid < num_tiles, count_ref[idx], 0)
+        return idx, count, tid
+
+    def geom_dma(slot, idx):
+        return pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(pl.multiple_of(idx * cap, LANE), cap)],
+            geom_buf.at[slot], sems.at[slot])
+
+    idx0, count0, _ = tile_info(0)
+
+    @pl.when(count0 > 0)
+    def _():
+        geom_dma(0, idx0).start()
+
+    def process_tile(k, carry):
+        idx, count, tid = tile_info(k)
+        slot = k % 2
+
+        @pl.when(k + 1 < tile_batch)
+        def _():
+            nidx, ncount, _ = tile_info(k + 1)
+
+            @pl.when(ncount > 0)
+            def _():
+                geom_dma((k + 1) % 2, nidx).start()
+
+        @pl.when(count > 0)
+        def _():
+            geom_dma(slot, idx).wait()
+
+        tx = (tid % grid_x).astype(jnp.float32)
+        ty = (tid // grid_x).astype(jnp.float32)
+        pix = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = tx * BLOCK + (pix % BLOCK).astype(jnp.float32)
+        py = ty * BLOCK + (pix // BLOCK).astype(jnp.float32)
+        g_tile = g_tiles[k]                          # [P, K]
+        g = geom_buf[slot]                           # [GEOM_W, cap]
+
+        x = g[0:1, :]
+        y = g[1:2, :]
+        ca = g[2:3, :]
+        cb = g[3:4, :]
+        cc = g[4:5, :]
+        op = g[5:6, :]
+        dx = px - x
+        dy = py - y
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        lane = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        # count <= cap by construction; lanes past it (and stale VMEM on
+        # skipped DMAs) zero out through the valid mask, so every window
+        # write is defined.
+        valid = (lane < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(valid, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        t_excl = _exclusive_cumprod_lanes(one_minus, cap)
+        include = valid & (t_excl * one_minus >= T_EPS)
+        w = jnp.where(include, alpha * t_excl, 0.0)      # [P, cap]
+
+        # dWT[k, e] = sum_p W[p, e] * g_tile[p, k]
+        dWT = lax.dot_general(
+            g_tile, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)             # [K, cap]
+        chan = lax.broadcasted_iota(
+            jnp.int32, (feat_k, 1), 0).astype(jnp.float32)
+        rows = []
+        for j in range(topk):
+            pair = g[QUICK_PCOL + j // 2:QUICK_PCOL + j // 2 + 1, :]
+            hi = jnp.floor(pair * (1.0 / PAIR_BASE))
+            ij = pair - hi * PAIR_BASE if j % 2 == 0 else hi
+            mask = (chan == ij).astype(jnp.float32)      # [K, cap]
+            rows.append(jnp.sum(dWT * mask, axis=0, keepdims=True))
+        rows.append(jnp.zeros((PROJ_W - topk, cap), jnp.float32))
+
+        def write_dma(kk):
+            return pltpu.make_async_copy(
+                dbuf.at[kk % 2],
+                dproj_hbm.at[:, pl.ds(
+                    pl.multiple_of((i * tile_batch + kk) * cap, LANE), cap)],
+                wsem.at[kk % 2])
+
+        @pl.when(k >= 2)
+        def _():
+            write_dma(k - 2).wait()
+
+        dbuf[slot] = jnp.concatenate(rows, axis=0)       # [PROJ_W, cap]
+        write_dma(k).start()
+
+        @pl.when(k >= tile_batch - 2)
+        def _():
+            write_dma(k).wait()
+
+        return carry
+
+    lax.fori_loop(0, tile_batch, process_tile, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_x", "grid_y", "feat_k", "topk", "cap",
+                     "tile_batch", "interpret"),
+)
+def feature_grads_topk_pallas(
+    entry_geom: jnp.ndarray,    # [GEOM_W, E_pad] field-major f32pack rows
+    tile_count: jnp.ndarray,    # [T] int32 (kept counts, <= cap)
+    tile_ids: jnp.ndarray,      # [T] int32
+    g_feat: jnp.ndarray,        # [T, P, K] cotangent of the tile feature map
+    *,
+    grid_x: int,
+    grid_y: int,
+    feat_k: int,
+    topk: int,
+    cap: int,
+    tile_batch: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused capped backward: per-entry TOP-K-PROJECTED gradients as
+    field-major [PROJ_W, n_pad*cap] (sublanes [0, topk); slice lanes
+    [:num_tiles*cap] for the dense window layout). Requires the capped
+    [T, cap] binning (tile t's entries at window t*cap) with cap a
+    multiple of 128."""
+    assert cap % LANE == 0, "capped windows must be 128-lane aligned"
+    n_local = tile_count.shape[0]
+    num_tiles = grid_x * grid_y
+
+    n_prog = -(-n_local // tile_batch)
+    n_pad = n_prog * tile_batch
+    tile_count = jnp.pad(tile_count, (0, n_pad - n_local))
+    tile_ids = jnp.pad(tile_ids, (0, n_pad - n_local),
+                       constant_values=num_tiles)
+    g_feat = jnp.pad(g_feat, ((0, n_pad - n_local), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _feature_bwd_topk_kernel,
+        cap=cap, grid_x=grid_x, num_tiles=num_tiles, feat_k=feat_k,
+        topk=topk, tile_batch=tile_batch,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((tile_batch, P, feat_k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, GEOM_W, cap), jnp.float32),
+            pltpu.VMEM((2, PROJ_W, cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    dproj = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((PROJ_W, n_pad * cap), jnp.float32),
+        interpret=interpret,
+    )(tile_count, tile_ids, entry_geom, g_feat)
+    return dproj
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +811,24 @@ def _quick_vjp_bwd(settings, quick_channels, res, cotangents):
     # the replay's per-tile VPU area; the entry_geom padding was sized
     # for this chunk by the forward).
     packed_b = 9 + topk // 2 + topk <= pallas_blend.GEOM_W
+    cap = settings.tile_budget_cap
+    if settings.tile_budget > 0.0 and packed_b and cap % 128 == 0:
+        # FUSED capped backward: the replay kernel projects each entry's
+        # dense gradient onto its OWN top-k channels in VMEM and emits
+        # only [PROJ_W, T*cap] (8 MB vs the 134 MB dense stream), already
+        # masked to the budget-visible lanes. The per-gaussian reduction
+        # is then a narrow scatter-add zero-padded to the fast w64 regime.
+        dproj = feature_grads_topk_pallas(
+            entry_geom, tile_count, tile_ids, g_tiles,
+            grid_x=grid_x, grid_y=grid_y, feat_k=feat_k, topk=topk,
+            cap=cap, interpret=interp)
+        e = g_sorted.shape[0]                                # T*cap
+        dcols = jnp.pad(dproj[:, :e].T, ((0, 0), (0, 64 - PROJ_W)))
+        d_qw = jnp.zeros((n, 64), jnp.float32).at[g_sorted].add(
+            dcols)[:, :topk]
+        zeros = [None if a is None else jnp.zeros_like(a) for a in args]
+        zeros[-2] = d_qw
+        return tuple(zeros)
     bwd_chunk = 256
     if settings.tile_budget > 0.0 and packed_b:
         bwd_chunk = min(256, max(settings.tile_budget_cap, 128))

@@ -70,9 +70,12 @@ def get_weights_and_indices(logits: jnp.ndarray, k: int):
     softmax kills that noise at the source (and makes gradient
     accumulation order-independent — trainer.make_feature_train_step_batched
     relies on it for parity with the sequential path)."""
-    y = jax.nn.softmax(logits, axis=1)
+    # Selection by raw logits: softmax is strictly monotone per row, so
+    # top-k by logits == top-k by softmax(logits) with identical
+    # tie-breaks — the [N, K] softmax (3 full passes) is selection-only
+    # waste here (the weights softmax below runs on the SELECTED logits).
     cols = [(i, jnp.sum(jnp.where(sel, logits, 0.0), axis=1))
-            for i, _v, sel in _topk_onehots(y, k)]
+            for i, _v, sel in _topk_onehots(logits, k)]
     # Ascending-index order via a column-wise bubble sorting network
     # (k(k-1)/2 compare-exchanges of whole [N] columns — no argsort, no
     # take_along_axis; the selected indices are distinct so the order is
