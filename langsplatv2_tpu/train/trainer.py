@@ -335,6 +335,19 @@ def _gram_cos_core(codebooks, w, seg_flat, hw, lay, *, eps, chunk, gt_table,
     return 1.0 - jnp.sum(sim) / hw
 
 
+def _tiles_gram_loss_fn():
+    """Tile-layout gram loss for the Pallas route: the fused Pallas
+    forward+backward (ops/pallas_gram.py — value/grad-parity-tested
+    against the XLA core) by default; LSV2_XLA_GRAM=1 selects the XLA
+    formulation for A/Bs."""
+    import os
+
+    if os.environ.get("LSV2_XLA_GRAM") == "1":
+        return gram_cos_loss_tiles
+    from ..ops.pallas_gram import gram_loss_fused
+    return gram_loss_fused
+
+
 def make_feature_train_step(
     settings,
     optimizer: GroupedOptimizer,
@@ -371,6 +384,7 @@ def make_feature_train_step(
         or (settings.impl == "auto" and _pallas_supported()))
     render_settings = settings._replace(assemble=False) if tiles_mode \
         else settings
+    tiles_loss = _tiles_gram_loss_fn()
 
     def compute_grads(model, view, proj, campos, bg, gt_a, gt_b, layer_idx):
         params = feature_params(model)
@@ -384,12 +398,13 @@ def make_feature_train_step(
             # settings.live_entries when a viewpoint overflows it.
             live = (jnp.asarray(-1, jnp.int32) if out.live_total is None
                     else out.live_total)
+            tot = out.total_entries
             if gram:
-                lf = gram_cos_loss_tiles if tiles_mode else gram_cos_loss
+                lf = tiles_loss if tiles_mode else gram_cos_loss
                 loss = lf(
                     m.codebooks, out.language_feature_weight_map,
                     gt_a, gt_b, layer_idx)
-                return loss, (jnp.asarray(0.0), live)
+                return loss, (jnp.asarray(0.0), live, tot)
             gt_feature, feature_mask = gt_a, gt_b
             feat = m.compute_layer_feature_map(
                 out.language_feature_weight_map, layer_idx)
@@ -403,22 +418,22 @@ def make_feature_train_step(
             if use_l1_loss:
                 l1 = losses.l1_loss(feat * mask, gt_feature * mask)
                 loss = loss + l1
-            return loss, (l1, live)
+            return loss, (l1, live, tot)
 
-        (loss, (l1, live)), grads = jax.value_and_grad(
+        (loss, (l1, live, tot)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         # Dead (padding) rows must not drift: their logits get no gradient
         # because opacity is forced to 0, but guard explicitly anyway.
         grads["language_logits"] = jnp.where(
             model.live[:, None], grads["language_logits"], 0.0)
-        return params, grads, loss, l1, live
+        return params, grads, loss, l1, live, tot
 
     if accum_iter > 1:
         @partial(jax.jit, static_argnames=("layer_idx",))
         def step_accum(model: GaussianModel, opt_state, accum, view, proj,
                        campos, bg, gt_a, gt_b, do_update,
                        layer_idx: int = 0):
-            params, grads, loss, l1, live = compute_grads(
+            params, grads, loss, l1, live, tot = compute_grads(
                 model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
             grads = jax.tree_util.tree_map(jnp.add, accum, grads)
 
@@ -432,18 +447,20 @@ def make_feature_train_step(
                 lambda _: (params, opt_state, grads), None)
             model = model.replace(**new_params)
             return model, opt_state_out, accum_out, {
-                "loss": loss, "l1": l1, "live_total": live}
+                "loss": loss, "l1": l1, "live_total": live,
+                "total_entries": tot}
 
         return step_accum
 
     @partial(jax.jit, static_argnames=("layer_idx",))
     def step(model: GaussianModel, opt_state, view, proj, campos, bg,
              gt_a, gt_b, layer_idx: int = 0):
-        params, grads, loss, l1, live = compute_grads(
+        params, grads, loss, l1, live, tot = compute_grads(
             model, view, proj, campos, bg, gt_a, gt_b, layer_idx)
         new_params, opt_state = optimizer.update(grads, opt_state, params)
         model = model.replace(**new_params)
-        return model, opt_state, {"loss": loss, "l1": l1, "live_total": live}
+        return model, opt_state, {"loss": loss, "l1": l1, "live_total": live,
+                                  "total_entries": tot}
 
     return step
 
@@ -475,6 +492,7 @@ def make_feature_train_step_batched(
                   or (settings.impl == "auto" and _pallas_supported()))
     render_settings = settings._replace(assemble=False) if tiles_mode \
         else settings
+    tiles_loss = _tiles_gram_loss_fn()
 
     @partial(jax.jit, static_argnames=("layer_idx",))
     def step(model: GaussianModel, opt_state, views, projs, camposs, bg,
@@ -497,17 +515,17 @@ def make_feature_train_step_batched(
                              precomputed_quick=(qw, qi))
                 live = (jnp.asarray(-1, jnp.int32) if out.live_total is None
                         else out.live_total)
-                lf = gram_cos_loss_tiles if tiles_mode else gram_cos_loss
+                lf = tiles_loss if tiles_mode else gram_cos_loss
                 loss = lf(m.codebooks, out.language_feature_weight_map,
                           ga, gb, layer_idx)
-                return carry + loss, (loss, live)
+                return carry + loss, (loss, live, out.total_entries)
 
-            total, (losses_b, lives) = jax.lax.scan(
+            total, (losses_b, lives, tots) = jax.lax.scan(
                 body, jnp.asarray(0.0, jnp.float32),
                 (views, projs, camposs, gt_tables, seg_maps))
-            return total, (losses_b, lives)
+            return total, (losses_b, lives, tots)
 
-        (loss_sum, (losses_b, lives)), grads = jax.value_and_grad(
+        (loss_sum, (losses_b, lives, tots)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         grads["language_logits"] = jnp.where(
             model.live[:, None], grads["language_logits"], 0.0)
@@ -518,7 +536,8 @@ def make_feature_train_step_batched(
         model = model.replace(**new_params)
         return model, opt_state_out, {
             "loss": loss_sum, "losses": losses_b,
-            "live_total": jnp.max(lives)}
+            "live_total": jnp.max(lives),
+            "total_entries": jnp.max(tots)}
 
     return step
 
@@ -784,6 +803,16 @@ def train_features(
     # rebuilt with a clamped prefix, and any later viewpoint that overflows
     # it grows the budget and re-runs (pallas_train live-prefix contract).
     live_budget: dict[tuple, int] = {}
+    # Adaptive EXPANSION budget per camera signature (capped mode only):
+    # the dense [T, cap] layout has no live-prefix clamp, but the
+    # expansion/sort buffer (max_entries) still pads every step. Geometry
+    # is frozen in the feature phase, so each camera's expansion total is
+    # a constant: the first step per sig runs at the configured budget
+    # (exact — nothing can truncate), then the step is rebuilt with the
+    # buffer sized to the measured total (measured +17% it/s at the
+    # reference scale). A later same-sig viewpoint with a larger total
+    # grows the buffer and redoes the step pre-update.
+    exp_budget: dict[tuple, int] = {}
 
     def _grow_budget(lt: int) -> int:
         return min(max_entries, -(-int(lt * 1.3 + 32768) // 65536) * 65536)
@@ -799,10 +828,12 @@ def train_features(
         # clamp entirely — the dense [T, cap] layout is fixed-size, so
         # the adaptive budget machinery never rebuilds the step.
         live = 0 if tile_budget > 0.0 else live_budget.get(sig, 0)
-        key = sig + (live, batched)
+        ebud = (exp_budget.get(sig, max_entries) if tile_budget > 0.0
+                else max_entries)
+        key = sig + (live, ebud, batched)
         if key not in step_cache:
             settings = make_settings(camera, model.active_sh_degree, 1.0,
-                                     max_entries, tile_cap, tile_batch=16,
+                                     ebud, tile_cap, tile_batch=16,
                                      impl=impl, live_entries=live,
                                      tile_budget=tile_budget,
                                      tile_budget_cap=tile_budget_cap,
@@ -919,8 +950,21 @@ def train_features(
                     model, opt_state, views, projs, camposs, bg,
                     gt_tables, seg_maps, do_update, layer_idx=layer_idx)
                 lt = int(metrics.get("live_total", -1))
-                if lt < 0 or tile_budget > 0.0:
+                if lt < 0:                  # non-Pallas route: no telemetry
                     break
+                if tile_budget > 0.0:
+                    tot = int(metrics.get("total_entries", 0))
+                    cur = exp_budget.get(sig, 0)
+                    if cur == 0:
+                        exp_budget[sig] = _grow_budget(tot)
+                        break
+                    if tot <= cur:
+                        break
+                    # A viewpoint in the group expanded past the sized
+                    # buffer: grow and redo the whole group pre-update.
+                    model, opt_state = prev
+                    exp_budget[sig] = _grow_budget(tot)
+                    continue
                 cur = live_budget.get(sig, 0)
                 if cur == 0:
                     live_budget[sig] = _grow_budget(lt)
@@ -978,8 +1022,19 @@ def train_features(
             lt = int(metrics.get("live_total", -1))
             if lt < 0:                      # non-Pallas route: no telemetry
                 break
-            if tile_budget > 0.0:           # capped layout: fixed-size step
-                break
+            if tile_budget > 0.0:
+                # Capped layout: size the EXPANSION buffer to the scene
+                # instead (see exp_budget above).
+                tot = int(metrics.get("total_entries", 0))
+                cur = exp_budget.get(sig, 0)
+                if cur == 0:
+                    exp_budget[sig] = _grow_budget(tot)
+                    break
+                if tot <= cur:
+                    break
+                model, opt_state, accum = prev
+                exp_budget[sig] = _grow_budget(tot)
+                continue
             cur = live_budget.get(sig, 0)
             if cur == 0:
                 # First step ran at the full budget (exact) — tighten for

@@ -249,7 +249,7 @@ def main():
     def adam(params, opt_state, grads, e):
         g2_ = jax.tree_util.tree_map(lambda a: a + e, grads)
         newp, news = optimizer.update(g2_, opt_state, params)
-        return jnp.sum(newp["language_logits"][::977, :, :2])
+        return jnp.sum(newp["language_logits"][::977, :2])
     scan_time("Adam update (logits+codebooks)", adam, params0, opt_state0,
               grads0)
 
