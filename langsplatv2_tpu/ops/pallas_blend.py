@@ -202,7 +202,13 @@ def _blend_kernel(
     def process_tile(k, carry):
         start, count, tid = tile_info(k)
         d = start - base_al(start)           # sub-128 misalignment, in [0, 128)
-        n_chunks = pl.cdiv(d + count, chunk)
+        # count == 0 must mean ZERO chunks: the chunk-0 DMA is only ever
+        # started (prologue/prefetch) for tiles with count > 0, so an
+        # empty tile with d > 0 would otherwise run body(0) and wait on a
+        # semaphore nothing signals — a device hang that kills the TPU
+        # worker (hit on real scenes with empty tiles, e.g. the c=4
+        # strong-scaling strip: 218 empty tiles with misaligned starts).
+        n_chunks = jnp.where(count > 0, pl.cdiv(d + count, chunk), 0)
         base = (k % 2) * 2
 
         # Prefetch the NEXT tile's first chunk into the other slot pair

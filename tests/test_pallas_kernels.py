@@ -230,6 +230,37 @@ class TestPallasBlend:
             topk=L * TOPK, chunk=256, interpret=True)
         np.testing.assert_allclose(feat_q, feat_ref, atol=2e-5)
 
+    def test_empty_tile_with_misaligned_start(self, setup):
+        """A REAL tile with count == 0 whose start is not 128-aligned must
+        produce zero output and — critically — zero chunk iterations: the
+        chunk-0 DMA is only started for tiles with count > 0, so an empty
+        tile that entered the chunk loop would wait on a semaphore nothing
+        signals (device hang; killed the TPU worker on the c=4
+        strong-scaling strip, 218 empty tiles). Regression for
+        pallas_blend n_chunks."""
+        proj, ops, binned, gx, gy, bg, tid = setup
+        rows = pallas_blend.pack_gaussian_rows(
+            proj.xy, proj.conic, ops[:, 0], proj.rgb)
+        geom = pallas_blend.to_field_major(rows[binned.gauss_id], 256)
+        dummy = jnp.zeros((1, geom.shape[1]), jnp.float32)
+        # Empty a mid-grid tile whose start is misaligned (d > 0), the
+        # exact shape of the hang.
+        counts = np.asarray(binned.tile_count).copy()
+        starts = np.asarray(binned.tile_start).copy()
+        victims = np.nonzero((starts % 128 != 0) & (counts > 0))[0]
+        assert victims.size > 0, "scene must yield a misaligned start"
+        v = int(victims[0])
+        counts[v] = 0
+        rgb_p, _, t_p = pallas_blend.blend_tiles_pallas(
+            geom, dummy, jnp.asarray(starts), jnp.asarray(counts), tid, bg,
+            grid_x=gx, grid_y=gy, mode="rgb", out_channels=0, chunk=256,
+            interpret=True)
+        # The emptied tile renders pure background with full transmittance.
+        np.testing.assert_allclose(
+            np.asarray(rgb_p)[v], np.tile(np.asarray(bg), (256, 1)),
+            atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t_p)[v], 1.0, atol=1e-6)
+
     def test_dense_mode(self, setup):
         proj, ops, binned, gx, gy, bg, tid = setup
         n = proj.xy.shape[0]
