@@ -286,6 +286,9 @@ def main():
     UNFUSED_QUERY = os.environ.get("LSV2_FUSED_QUERY", "0") != "1"
     if not UNFUSED_QUERY:
         log("FUSED-query A/B enabled (LSV2_FUSED_QUERY=1)")
+    # Unfused-query backend: Pallas one-pass query_map_tiles (default) vs
+    # the XLA block-diag einsums (LSV2_XLA_QUERY=1, the round-4 path).
+    XLA_QUERY = os.environ.get("LSV2_XLA_QUERY", "0") == "1"
     # bf16 operands = the MXU's native pass; CPU XLA (the flow smoke)
     # cannot execute bf16xbf16->f32 dots.
     MM_DT = (jnp.bfloat16 if jax.default_backend() != "cpu"
@@ -316,29 +319,41 @@ def main():
                 # shaped pair of matmuls instead of L batched einsums with
                 # N=PQ(<=8) — the per-level form wastes >90% of each MXU
                 # pass on N-padding (measured in the 728p query stage).
-                pq = phi_d.shape[2]
-                lk = L * K
-                phi_mat = jnp.zeros((lk, L * pq), MM_DT)
-                gram_mat = jnp.zeros((lk, lk), MM_DT)
-                for lvl in range(L):
-                    phi_mat = phi_mat.at[
-                        lvl * K:(lvl + 1) * K,
-                        lvl * pq:(lvl + 1) * pq].set(
-                            phi_d[lvl].astype(MM_DT))
-                    gram_mat = gram_mat.at[
-                        lvl * K:(lvl + 1) * K,
-                        lvl * K:(lvl + 1) * K].set(
-                            gram_d[lvl].astype(MM_DT))
-                wm = out.feature_map.reshape(t * p, lk).astype(MM_DT)
-                raw_t = jnp.einsum(
-                    "qc,cd->qd", wm, phi_mat,
-                    preferred_element_type=jnp.float32).reshape(t, p, -1)
-                wg = jnp.einsum(
-                    "qc,cd->qd", wm, gram_mat,
-                    preferred_element_type=jnp.float32)
-                nrm2_t = jnp.sum(
-                    (wg * wm).reshape(t * p, L, K), axis=-1
-                ).reshape(t, p, L)
+                if XLA_QUERY:
+                    pq = phi_d.shape[2]
+                    lk = L * K
+                    phi_mat = jnp.zeros((lk, L * pq), MM_DT)
+                    gram_mat = jnp.zeros((lk, lk), MM_DT)
+                    for lvl in range(L):
+                        phi_mat = phi_mat.at[
+                            lvl * K:(lvl + 1) * K,
+                            lvl * pq:(lvl + 1) * pq].set(
+                                phi_d[lvl].astype(MM_DT))
+                        gram_mat = gram_mat.at[
+                            lvl * K:(lvl + 1) * K,
+                            lvl * K:(lvl + 1) * K].set(
+                                gram_d[lvl].astype(MM_DT))
+                    wm = out.feature_map.reshape(t * p, lk).astype(MM_DT)
+                    raw_t = jnp.einsum(
+                        "qc,cd->qd", wm, phi_mat,
+                        preferred_element_type=jnp.float32).reshape(t, p, -1)
+                    wg = jnp.einsum(
+                        "qc,cd->qd", wm, gram_mat,
+                        preferred_element_type=jnp.float32)
+                    nrm2_t = jnp.sum(
+                        (wg * wm).reshape(t * p, L, K), axis=-1
+                    ).reshape(t, p, L)
+                else:
+                    # Pallas one-pass query: the XLA einsums materialize
+                    # the [Q, 192] f32 `wg` intermediate in HBM (~560 MB
+                    # r+w at the 728p load — the query stage measured
+                    # 6.9 ms at only 46.7 GB/s of USEFUL traffic);
+                    # query_map_tiles keeps it in VMEM.
+                    from langsplatv2_tpu.ops.pallas_query import \
+                        query_map_tiles
+                    raw_t, nrm2_t = query_map_tiles(
+                        out.feature_map.astype(MM_DT), phi_d, gram_d,
+                        interpret=jax.default_backend() == "cpu")
             else:
                 rgb, raw_t, nrm2_t, final_t, radii, total, live = \
                     rasterize_quick_query(
@@ -1081,6 +1096,12 @@ def main():
                 img = tbackend.finalize_frame(
                     tbackend.dispatch_request(treq_at(0)), as_uint8=True)
                 tbackend._encode_jpeg(img)
+                # Warm the STEADY-frame jit too (sub-threshold 0.2px pose
+                # delta): the pose-0 warmup above only compiles the rebin
+                # path, and a compile inside the timed loop under-reports
+                # the loop by ~4x (measured 0.48 vs ~2 FPS).
+                tbackend.finalize_frame(
+                    tbackend.dispatch_request(treq_at(0.2)), as_uint8=True)
                 log(f"serve temporal compile done "
                     f"({tbackend.cache_hits})")
                 q.clear()

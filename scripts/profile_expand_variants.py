@@ -97,10 +97,11 @@ def main():
     if os.environ.get("LSV2_EXPAND_SPLIT"):
         # bf16-split row table vs f32 HIGHEST selection (bit-identical
         # outputs; the A/B is pure speed).
-        run("base f32/HIGHEST")
-        run("split bf16/DEFAULT", split=True)
-        run("base noncull", cull=False)
-        run("split noncull", cull=False, split=True)
+        run("split C512 g16 (default)", split=True)
+        run("split C1024 g8", split=True, chunk=1024, group=8)
+        run("split C2048 g4", split=True, chunk=2048, group=4)
+        run("split C1024 g16", split=True, chunk=1024, group=16)
+        run("split C256 g32", split=True, chunk=256, group=32)
     elif os.environ.get("LSV2_EXPAND_V4"):
         run("base (C512 WBUF3072 g16)")
         run("C256 g32", chunk=256, group=32)
