@@ -139,28 +139,36 @@ def main():
             chunk=chunk, rowfmt="fast16", banded=True)
         if stage == "blend":
             return jnp.sum(rgb_t[:, 0, 0]) + jnp.sum(feat_t[:, 0, 0])
-        # gram query + heat assembly (the bench frame's tail): block-diag
-        # single matmuls (see bench.py make_frame — the per-level batched
-        # einsums waste >90% of each MXU pass on N-padding at PQ<=8).
+        # gram query + heat assembly (the bench frame's tail). Default =
+        # the Pallas one-pass query (bench default; the XLA einsums
+        # materialize the [Q, L*K] f32 `wg` in HBM); LSV2_XLA_QUERY=1
+        # profiles the round-4 block-diag einsum form instead.
         t, p, _ = feat_t.shape
         lk = L * CB
         pq = NPOS + NNEG
-        phi_mat = jnp.zeros((lk, L * pq), jnp.bfloat16)
-        gram_mat = jnp.zeros((lk, lk), jnp.bfloat16)
-        for lvl in range(L):
-            phi_mat = phi_mat.at[lvl * CB:(lvl + 1) * CB,
-                                 lvl * pq:(lvl + 1) * pq].set(
-                                     phi[lvl].astype(jnp.bfloat16))
-            gram_mat = gram_mat.at[lvl * CB:(lvl + 1) * CB,
-                                   lvl * CB:(lvl + 1) * CB].set(
-                                       gram[lvl].astype(jnp.bfloat16))
-        wm = feat_t.reshape(t * p, lk).astype(jnp.bfloat16)
-        raw = jnp.einsum("qc,cd->qd", wm, phi_mat,
-                         preferred_element_type=jnp.float32
-                         ).reshape(t * p, L, pq).transpose(1, 0, 2)
-        wg = jnp.einsum("qc,cd->qd", wm, gram_mat,
-                        preferred_element_type=jnp.float32)
-        nrm2 = jnp.sum((wg * wm).reshape(t * p, L, CB), axis=-1).T
+        if os.environ.get("LSV2_XLA_QUERY", "0") == "1":
+            phi_mat = jnp.zeros((lk, L * pq), jnp.bfloat16)
+            gram_mat = jnp.zeros((lk, lk), jnp.bfloat16)
+            for lvl in range(L):
+                phi_mat = phi_mat.at[lvl * CB:(lvl + 1) * CB,
+                                     lvl * pq:(lvl + 1) * pq].set(
+                                         phi[lvl].astype(jnp.bfloat16))
+                gram_mat = gram_mat.at[lvl * CB:(lvl + 1) * CB,
+                                       lvl * CB:(lvl + 1) * CB].set(
+                                           gram[lvl].astype(jnp.bfloat16))
+            wm = feat_t.reshape(t * p, lk).astype(jnp.bfloat16)
+            raw = jnp.einsum("qc,cd->qd", wm, phi_mat,
+                             preferred_element_type=jnp.float32
+                             ).reshape(t * p, L, pq).transpose(1, 0, 2)
+            wg = jnp.einsum("qc,cd->qd", wm, gram_mat,
+                            preferred_element_type=jnp.float32)
+            nrm2 = jnp.sum((wg * wm).reshape(t * p, L, CB), axis=-1).T
+        else:
+            from langsplatv2_tpu.ops.pallas_query import query_map_tiles
+            raw_t, nrm2_t = query_map_tiles(
+                feat_t.astype(jnp.bfloat16), phi, gram)
+            raw = raw_t.reshape(t * p, L, pq).transpose(1, 0, 2)
+            nrm2 = nrm2_t.reshape(t * p, L).T
         sim = raw / (jnp.sqrt(jnp.maximum(nrm2, 0.0))[..., None] + 1e-10)
         pos, neg = sim[..., :NPOS], sim[..., NPOS:]
         relev = jax.nn.sigmoid(
